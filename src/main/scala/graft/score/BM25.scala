@@ -1,0 +1,65 @@
+package graft.score
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.index.FieldStats
+
+/** Okapi BM25 — semantics replicated from
+  * /root/reference/src/score/default/bm25.rs (defaults k1=1.2, b=0.75,
+  * bm25.rs:21-26), as pure codegen'd column expressions: no UDF, no UDAF.
+  *
+  * Exact formulas (must stay bit-faithful, see SURVEY.md §2.3):
+  *  - `f = min(N, df)` with OCCURRENCE-counted df (bm25.rs:41; the clamp is
+  *    pinned by /root/reference/tests/document_frequency.rs).
+  *  - `idf = ln(1 + (N − f + 0.5)/(f + 0.5))` (bm25.rs:56).
+  *  - expansion boost: exact match → 1.0, else
+  *    `ln(1 + 1/(1 + len(exp) − len(term)))` with UTF-8 BYTE lengths
+  *    (bm25.rs:44-55).
+  *  - per-field: `tfn = ((k1+1)·tf) / (k1·((1−b) + b·fl/avg) + tf)`,
+  *    contribution `tfn · idf · boost(x) · expansionBoost`, summed over
+  *    fields in field order, row dropped when the sum ≤ 0 (bm25.rs:60-93).
+  *  - merge: max over a query term's expansions, then sum across query
+  *    terms in query order (reference `max_score_merger`,
+  *    /root/reference/src/query.rs:150-164 — the cross-term sum is folded
+  *    in ascending `qti` order for bit-exact f64 reproduction).
+  */
+final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends ScoreModel {
+
+  override def expansionColumns(exp: DataFrame, stats: FieldStats): DataFrame = {
+    val n = stats.n
+    val f = least(lit(n), col("df"))
+    val idf = log(lit(1.0) + ((lit(n) - f).cast("double") + lit(0.5)) / (f.cast("double") + lit(0.5)))
+    val eboost = when(col("exp_term") === col("qterm"), lit(1.0)).otherwise(
+      log(lit(1.0) + lit(1.0) /
+        (lit(1.0) + Analyzer.byteLen(col("exp_term")).cast("double")
+          - Analyzer.byteLen(col("qterm")).cast("double"))))
+    exp.withColumn("idf", idf).withColumn("eboost", eboost)
+  }
+
+  override def score(joined: DataFrame, stats: FieldStats, boosts: Seq[Double],
+      qlenRaw: Int, numFields: Int): DataFrame = {
+    val perField: Seq[Column] = (0 until numFields).map { x =>
+      val tf = element_at(col("tf"), x + 1).cast("double")
+      val fl = element_at(col("fl"), x + 1).cast("double")
+      val tfn = (lit(k1 + 1.0) * tf) /
+        (lit(k1) * (lit(1.0 - b) + lit(b) * (fl / lit(stats.avgs(x)))) + tf)
+      when(tf > 0, tfn * col("idf") * lit(boosts(x)) * col("eboost"))
+        .otherwise(lit(0.0))
+    }
+    val termScore = perField.reduce(_ + _)
+    joined
+      .withColumn("_ts", termScore)
+      .filter(col("_ts") > 0)
+      // max over this query term's expansion set…
+      .groupBy(col("doc_id"), col("qti")).agg(max(col("_ts")).as("_mts"))
+      // …then sum across query terms, folded in qti order so the f64
+      // accumulation order matches the reference's sequential loop.
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("qti"), col("_mts")))),
+        lit(0.0),
+        (acc: Column, e: Column) => acc + e.getField("_mts")).as("score"))
+  }
+}

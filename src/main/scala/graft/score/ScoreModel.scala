@@ -1,0 +1,40 @@
+package graft.score
+
+import org.apache.spark.sql.DataFrame
+
+import graft.index.FieldStats
+
+/** Scoring SPI — the Spark-shaped mirror of the reference `ScoreCalculator`
+  * trait (/root/reference/src/score/calculator.rs:33-70):
+  *
+  *  - `before_each` (per-expanded-term precalculation from df and the doc
+  *    map) → [[expansionColumns]]: derive extra columns on the tiny
+  *    expansion DataFrame, which gets broadcast into the postings join.
+  *    Catalyst constant-folds these once per expansion row — the same
+  *    hoisting the reference does by hand.
+  *  - `score` (per posting) + `finalize` (post-pass over the result set) →
+  *    [[score]]: take the (postings ⋈ expansions) rows and produce the
+  *    final per-document scores. BM25 is pure column arithmetic + two-level
+  *    aggregation; zero-to-one needs a holistic per-(doc, field) group
+  *    computation, so it owns its whole downstream pipeline.
+  */
+trait ScoreModel {
+
+  /** Input columns: `qti` (query-term index), `qterm`, `exp_term`, `df`
+    * (live occurrence-counted document frequency). Output must keep those
+    * and may add model-specific columns.
+    */
+  def expansionColumns(exp: DataFrame, stats: FieldStats): DataFrame
+
+  /** Input: one row per (live posting, matching expansion) with columns
+    * `doc_id, tf: array<int>, fl: array<int>, occ, qti, qterm, exp_term`
+    * plus whatever [[expansionColumns]] added. Output: `(doc_id: long,
+    * score: double)`, one row per matched doc (unsorted).
+    *
+    * @param qlenRaw number of query tokens INCLUDING empty ones — the
+    *                reference's `query_terms_len`
+    *                (/root/reference/src/query.rs:32)
+    */
+  def score(joined: DataFrame, stats: FieldStats, boosts: Seq[Double],
+      qlenRaw: Int, numFields: Int): DataFrame
+}
