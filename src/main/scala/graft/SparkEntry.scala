@@ -1,13 +1,375 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, InvertedIndex, Mutations}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import graft.query.QueryEngine
+import graft.score.{BM25, ZeroToOne}
+
+/** Build-once-query-many cache of the documents index per testdata dir
+  * (the real-world deployment shape: the index is a persisted artifact,
+  * queries reuse it).
+  */
+object IndexCache {
+  private val cache = TrieMap.empty[String, InvertedIndex]
+  def documents(spark: SparkSession, dir: String): InvertedIndex =
+    cache.getOrElseUpdate(dir,
+      IndexBuilder.build(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", Seq("text"))
+        .cached())
+}
+
+/** Driver contract — one `queries` entry per operator (SURVEY.md §2), with
+  * a DuckDB-equivalent `oracleSql` for everything SQL-expressible.
+  *
+  * Float-valued outputs are emitted as MICRO-UNIT LONGS
+  * (`cast(round(x*1e6) as bigint)`) on BOTH sides: DuckDB's `round` returns
+  * DECIMAL and cross-engine f64 accumulation differs in the last ulp, so
+  * integer micro-units are the hash-stable encoding of "equal to 1e-6".
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def micro(c: org.apache.spark.sql.Column) =
+    round(c * lit(1e6)).cast("long")
+
+  /** Flagship: BM25 top-10 over the sf0.001 documents corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    val idx = IndexCache.documents(spark, "/root/testdata/sf0.001")
+    QueryEngine.query(idx, "spark merge", BM25(), limit = 10)
+  }
+
+  // ---------- shared oracle SQL fragments (DuckDB dialect) ----------
+
+  private val ToksCte =
+    "toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs)"
+
+  /** Full BM25 pipeline in ANSI-ish SQL (DuckDB): tokenize → doclen/stats →
+    * occurrence-df postings → prefix expansion → idf/boost → per-(doc,qti)
+    * max → per-doc sum. Mirrors the engine exactly (k1=1.2, b=0.75).
+    */
+  private def bm25Sql(qterms: Seq[String], filter: String): String = {
+    val qvals = qterms.zipWithIndex
+      .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, text FROM documents $filter),
+       |$ToksCte,
+       |doclen AS (
+       |  SELECT d.doc_id, coalesce(t.fl, 0) AS fl FROM docs d
+       |  LEFT JOIN (SELECT doc_id, count(*) AS fl FROM toks GROUP BY doc_id) t
+       |  ON d.doc_id = t.doc_id),
+       |stats AS (SELECT count(*) AS n, sum(fl) AS s FROM doclen),
+       |post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+       |tdf AS (SELECT term, sum(tf) AS df FROM post GROUP BY term),
+       |qt AS (SELECT * FROM (VALUES $qvals) AS t(qti, qterm)),
+       |exp AS (SELECT qt.qti, qt.qterm, tdf.term AS eterm, tdf.df
+       |        FROM qt JOIN tdf ON tdf.term LIKE qt.qterm || '%'),
+       |esc AS (SELECT e.qti, e.eterm,
+       |  ln(1 + ((st.n - least(st.n, e.df)) + 0.5) / (least(st.n, e.df) + 0.5)) AS idf,
+       |  CASE WHEN e.eterm = e.qterm THEN 1.0
+       |       ELSE ln(1 + 1.0 / (1.0 + length(e.eterm) - length(e.qterm))) END AS boost
+       |  FROM exp e, stats st),
+       |sc AS (SELECT p.doc_id, s.qti,
+       |  max(((1.2 + 1.0) * p.tf) /
+       |      (1.2 * ((1.0 - 0.75) + 0.75 * (d.fl / (st.s * 1.0 / st.n))) + p.tf)
+       |      * s.idf * s.boost) AS mts
+       |  FROM post p JOIN esc s ON p.term = s.eterm
+       |  JOIN doclen d ON d.doc_id = p.doc_id, stats st
+       |  GROUP BY p.doc_id, s.qti)
+       |SELECT doc_id, CAST(round(sum(mts) * 1000000.0) AS BIGINT) AS score_micro
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private val ShinglesCte =
+    """tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tk WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx)""".stripMargin
+
+  private val SigCte =
+    s"""$ShinglesCte,
+       |hv AS (SELECT doc_id, j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT) AS v
+       |       FROM sh, generate_series(0, 7) hj(j)),
+       |sig AS (SELECT doc_id, j AS h, min(v) AS minhash FROM hv GROUP BY doc_id, j)""".stripMargin
+
+  // ---------- queries ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O3/O2: tokenize + per-doc field length (docstats table)
+    "q01_doclen" -> ((s, dir) => IndexCache.documents(s, dir).docstats
+      .select(col("doc_id"), element_at(col("fl"), 1).cast("long").as("field_len"))
+      .orderBy("doc_id")),
+
+    // O10: occurrence-counted document frequency (term dictionary)
+    "q02_termdf" -> ((s, dir) => IndexCache.documents(s, dir).termdict
+      .select(col("term"), col("df").cast("long")).orderBy("term")),
+
+    // O4/O6: posting construction
+    "q03_postings" -> ((s, dir) => IndexCache.documents(s, dir).postings
+      .select(col("term"), col("doc_id"),
+        element_at(col("tf"), 1).cast("long").as("tf"))
+      .orderBy("term", "doc_id")),
+
+    // O1 + FieldDetails: global stats
+    "q04_fieldstats" -> ((s, dir) => IndexCache.documents(s, dir).docstats
+      .agg(count(lit(1)).as("n_docs"),
+        sum(element_at(col("fl"), 1)).cast("long").as("sum_len"))
+      .select(col("n_docs"), col("sum_len"),
+        micro(col("sum_len").cast("double") / col("n_docs").cast("double"))
+          .as("avg_len_micro"))),
+
+    // O14/O15/O18: full BM25, exact multi-term disjunction
+    "q05_bm25_exact" -> ((s, dir) =>
+      QueryEngine.query(IndexCache.documents(s, dir), "merge the data", BM25())
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy("doc_id")),
+
+    // O13 + O18: prefix-expanded BM25 ("spar"→spark, "s"→6 terms)
+    "q06_bm25_prefix" -> ((s, dir) =>
+      QueryEngine.query(IndexCache.documents(s, dir), "spar s", BM25())
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy("doc_id")),
+
+    // O13: term expansion
+    "q07_expand" -> ((s, dir) =>
+      QueryEngine.expandTerm(IndexCache.documents(s, dir), "s")),
+
+    // O7: tombstoned remove (no vacuum) — stats/df recomputed live
+    "q08_bm25_delete" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val ids = idx.docstats.filter(col("doc_id") % 7 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      QueryEngine.query(Mutations.removeDocuments(idx, ids), "data table", BM25())
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // O19: zero-to-one scorer (greedy finalize — not SQL-expressible;
+    // golden-pinned in ScalaTest instead)
+    "q09_zto" -> ((s, dir) =>
+      QueryEngine.query(IndexCache.documents(s, dir), "spark merge", ZeroToOne())
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy("doc_id")),
+
+    // pipeline: exact dedup (with injected duplicates so groups exist)
+    "q10_exact_dup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val aug = d.select(col("doc_id"), col("text")).union(
+        d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactDupGroups(aug, "doc_id", "text").orderBy("fingerprint")
+    }),
+
+    // pipeline: minhash signatures (portable md5 hash family)
+    "q11_minhash" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 3, 8)
+        .select(col("doc_id"), col("h").cast("long"), col("minhash"))
+        .orderBy("doc_id", "h")),
+
+    // pipeline: LSH banding candidate pairs
+    "q12_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 3, 8), 2)
+        .orderBy("id_a", "id_b")),
+
+    // pipeline: 32-bit simhash
+    "q13_simhash" -> ((s, dir) =>
+      Dedup.simhash32(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    // pipeline: exact n-gram Jaccard near-dup pairs
+    "q14_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.02)
+        .select(col("id_a"), col("id_b"), col("inter"),
+          col("size_a"), col("size_b"), micro(col("jaccard")).as("jaccard_micro"))
+        .orderBy("id_a", "id_b")),
+
+    // pipeline: brute-force cosine similarity vs the vec_id=0 embedding
+    "q15_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      e.select(col("vec_id"),
+        micro(Similarity.cosine(col("embedding"),
+          array(q.map(v => lit(v)): _*))).as("cos_micro"))
+        .orderBy("vec_id")
+    }),
+
+    // pipeline: sign-LSH bucket assignment (the ANN scale path)
+    "q16_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBuckets(emb(s, dir), "vec_id", "embedding", 64, 8)
+        .select(col("vec_id"), col("bucket").cast("long")).orderBy("vec_id")),
+
+    // pipeline: quality scoring
+    "q17_quality" -> ((s, dir) =>
+      TextStats.qualityScores(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          micro(col("mean_tok_len")).as("mtl_micro"),
+          micro(col("stopword_ratio")).as("stop_micro"),
+          micro(col("alpha_ratio")).as("alpha_micro"),
+          micro(col("quality")).as("quality_micro"))
+        .orderBy("doc_id")),
+
+    // pipeline: token counting (whitespace + BPE-ish regex)
+    "q18_tokcounts" -> ((s, dir) =>
+      TextStats.tokenCounts(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens").cast("long"),
+          col("re_tokens").cast("long"))
+        .orderBy("doc_id")),
+
+    // pipeline: language-ID heuristic
+    "q19_langid" -> ((s, dir) =>
+      TextStats.languageId(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang_pred"),
+          micro(col("hit_ratio")).as("ratio_micro"))
+        .orderBy("doc_id")),
+
+    // pipeline: document fingerprinting
+    "q20_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    // pipeline: multimodal decode stub (binary plumbing; rows-only check)
+    "q21_multimodal" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text"),
+        "doc_id", "media")
+        .select(col("doc_id"), col("n_bytes"), col("format"), col("width"),
+          col("height"))
+        .orderBy("doc_id")),
+
+    // pipeline: LSH-restricted approximate cosine top-k (rows-only; parity
+    // vs brute force asserted in ScalaTest)
+    "q22_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.lshCosineTopK(e, "vec_id", "embedding", 64, 8, q, 20)
+        .select(col("vec_id"), micro(col("cos")).as("cos_micro"))
+    })
+  )
+
+  // ---------- oracles (DuckDB SQL over the same parquet tables) ----------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_doclen" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |t AS (SELECT doc_id, count(*) AS fl FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(t.fl, 0) AS field_len FROM docs d LEFT JOIN t ON d.doc_id = t.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q02_termdf" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents)
+        |SELECT term, count(*) AS df FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs) GROUP BY term ORDER BY term""".stripMargin,
+
+    "q03_postings" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents)
+        |SELECT term, doc_id, count(*) AS tf FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs) GROUP BY term, doc_id ORDER BY term, doc_id""".stripMargin,
+
+    "q04_fieldstats" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |t AS (SELECT doc_id, count(*) AS fl FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs) GROUP BY doc_id),
+        |dl AS (SELECT d.doc_id, coalesce(t.fl, 0) AS fl FROM docs d LEFT JOIN t ON d.doc_id = t.doc_id)
+        |SELECT count(*) AS n_docs, CAST(sum(fl) AS BIGINT) AS sum_len, CAST(round((sum(fl) * 1.0 / count(*)) * 1000000.0) AS BIGINT) AS avg_len_micro FROM dl""".stripMargin,
+
+    "q05_bm25_exact" -> bm25Sql(Seq("merge", "the", "data"), ""),
+    "q06_bm25_prefix" -> bm25Sql(Seq("spar", "s"), ""),
+
+    "q07_expand" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents)
+        |SELECT DISTINCT term FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs) WHERE term LIKE 's%' ORDER BY term""".stripMargin,
+
+    "q08_bm25_delete" -> bm25Sql(Seq("data", "table"), "WHERE doc_id % 7 <> 0"),
+
+    "q10_exact_dup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |fp AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint FROM aug)
+        |SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint HAVING count(*) >= 2 ORDER BY fingerprint""".stripMargin,
+
+    "q11_minhash" ->
+      s"""WITH $SigCte
+         |SELECT doc_id, h, minhash FROM sig ORDER BY doc_id, h""".stripMargin,
+
+    "q12_lsh_pairs" ->
+      s"""WITH $SigCte,
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM sig a JOIN sig b ON a.h = b.h AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id, a.h // 2 HAVING count(*) = 2)
+         |SELECT DISTINCT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    "q13_simhash" ->
+      """WITH tv AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents) GROUP BY doc_id, term),
+        |th AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h FROM tv),
+        |bits AS (SELECT doc_id, gb.b AS b, sum(CASE WHEN ((h >> gb.b) & 1) = 1 THEN tf ELSE -tf END) AS v
+        |         FROM th, generate_series(0, 31) gb(b) GROUP BY doc_id, gb.b)
+        |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q14_jaccard" ->
+      s"""WITH $ShinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |cold AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 1000),
+         |pr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)),
+         |pairs AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+         |          FROM pr l JOIN pr r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+         |          GROUP BY l.doc_id, r.doc_id)
+         |SELECT p.id_a, p.id_b, p.inter, sa.sz AS size_a, sb.sz AS size_b,
+         |       CAST(round((p.inter * 1.0 / (sa.sz + sb.sz - p.inter)) * 1000000.0) AS BIGINT) AS jaccard_micro
+         |FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+         |WHERE (p.inter * 1.0 / (sa.sz + sb.sz - p.inter)) >= 0.02
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    "q15_cosine" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |parts AS (SELECT e.vec_id,
+        |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS nd,
+        |    sum(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS nq
+        |  FROM embeddings e, q, generate_series(1, 64) g(i) GROUP BY e.vec_id)
+        |SELECT vec_id, CAST(round((dot / (sqrt(nd) * sqrt(nq))) * 1000000.0) AS BIGINT) AS cos_micro FROM parts ORDER BY vec_id""".stripMargin,
+
+    "q16_lsh_buckets" ->
+      """WITH hp AS (SELECT gb.b AS b, gi.i AS i,
+        |    CASE WHEN (CAST(('0x' || substr(md5('hp:' || CAST(gb.b AS VARCHAR) || ':' || CAST(gi.i AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 7) gb(b), generate_series(0, 63) gi(i)),
+        |proj AS (SELECT e.vec_id, hp.b, sum(CAST(e.embedding[hp.i + 1] AS DOUBLE) * hp.s) AS p
+        |         FROM embeddings e, hp GROUP BY e.vec_id, hp.b)
+        |SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q17_quality" ->
+      """WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) > 0 THEN list_aggregate(list_transform(toks, x -> strlen(x)), 'sum') * 1.0 / len(toks) ELSE 0.0 END AS mtl,
+        |  CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','by','at','this','that'], x))) * 1.0 / len(toks) ELSE 0.0 END AS stop,
+        |  CASE WHEN strlen(text) > 0 THEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / strlen(text) ELSE 0.0 END AS alpha
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(round(mtl * 1000000.0) AS BIGINT) AS mtl_micro,
+        |  CAST(round(stop * 1000000.0) AS BIGINT) AS stop_micro,
+        |  CAST(round(alpha * 1000000.0) AS BIGINT) AS alpha_micro,
+        |  CAST(round((least(n_tokens * 1.0 / 20.0, 1.0) * (1.0 - abs(stop - 0.1)) * alpha) * 1000000.0) AS BIGINT) AS quality_micro
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q18_tokcounts" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q19_langid" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, 'de' AS lang, len(list_filter(toks, x -> list_contains(['der','die','und','das','nicht','ist'], x))) * 1.0 / greatest(len(toks), 1) AS ratio FROM t
+        |  UNION ALL SELECT doc_id, 'en', len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is'], x))) * 1.0 / greatest(len(toks), 1) FROM t
+        |  UNION ALL SELECT doc_id, 'es', len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en'], x))) * 1.0 / greatest(len(toks), 1) FROM t
+        |  UNION ALL SELECT doc_id, 'fr', len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est'], x))) * 1.0 / greatest(len(toks), 1) FROM t),
+        |r AS (SELECT doc_id, lang, ratio, row_number() OVER (PARTITION BY doc_id ORDER BY ratio DESC, lang ASC) AS rn FROM s)
+        |SELECT doc_id, lang AS lang_pred, CAST(round(ratio * 1000000.0) AS BIGINT) AS ratio_micro FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q20_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

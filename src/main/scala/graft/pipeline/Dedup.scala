@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * shingle-Jaccard, MinHash+LSH, and SimHash near-dup.
+  *
+  * Scale notes (these run over the full corpus, unlike queries):
+  *  - exact dedup = one hash-groupBy; the md5 key is uniform so there is no
+  *    skew by construction.
+  *  - candidate generation (shared shingle / LSH band / simhash piece) is a
+  *    self-join on a bucket key. Hot buckets (a shingle appearing in
+  *    thousands of docs) would go quadratic, so every candidate generator
+  *    takes a `maxBucket` cap and DROPS buckets above it — the standard
+  *    trade (a shingle that common carries no dedup signal anyway). The cap
+  *    makes worst-case work O(Σ min(|bucket|, cap)²) instead of O(n²).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: (fingerprint, n_dups, keep_id)
+    * for groups of ≥ 2; `keep_id` = smallest doc id (the canonical
+    * survivor).
+    */
+  def exactDupGroups(docs: DataFrame, id: String, text: String): DataFrame =
+    TextStats.fingerprints(docs, id, text)
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_dups") >= 2)
+
+  /** Distinct k-token shingles per doc: (doc_id, shingle). */
+  def docShingles(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
+    docs.select(col(id).cast("long").as("doc_id"),
+      explode(array_distinct(Portable.shingles(col(text), k))).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs: candidates = doc pairs sharing at
+    * least one (non-hot) shingle; Jaccard over DISTINCT shingle sets;
+    * output (id_a < id_b, inter, size_a, size_b, jaccard) with
+    * jaccard ≥ minJaccard.
+    */
+  def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
+      minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
+    val sh = docShingles(docs, id, text, k)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val cold = sh.groupBy(col("shingle")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") >= 2)
+    val pruned = sh.join(cold.select("shingle"), Seq("shingle"))
+    val pairs = pruned.as("l").join(pruned.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "size_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash signatures: (doc_id, h, minhash) for h in 0 until numHashes,
+    * minhash = min over the doc's distinct shingles of hash_h(shingle).
+    * Docs with no shingles get no signature rows.
+    *
+    * One explode + one groupBy; the md5-family hash is portable (DuckDB
+    * oracle computes identical values).
+    */
+  def minhashSignatures(docs: DataFrame, id: String, text: String, k: Int,
+      numHashes: Int): DataFrame = {
+    val sh = docShingles(docs, id, text, k)
+    val hashed = sh.select(col("doc_id"),
+      posexplode(array((0 until numHashes).map(j =>
+        Portable.md5LongSeeded(j, col("shingle"))): _*)).as(Seq("h", "v")))
+    hashed.groupBy(col("doc_id"), col("h")).agg(min(col("v")).as("minhash"))
+  }
+
+  /** LSH banding over minhash signatures: rowsPerBand consecutive hashes
+    * hash together into a band key; docs sharing a (band, key) bucket are
+    * candidate pairs. Output (id_a < id_b) distinct.
+    */
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    val banded = signatures
+      .withColumn("band", (col("h") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("h"), col("minhash")))))).as("bkey"))
+    val cold = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") >= 2)
+    val pruned = banded.join(cold.select("band", "bkey"), Seq("band", "bkey"))
+    pruned.as("l").join(pruned.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over whitespace terms, tf-weighted: bit b is set when
+    * Σ_terms tf · sign(bit b of hash(term)) > 0. Portable md5-based term
+    * hash; the vote aggregation is one explode + groupBy.
+    */
+  def simhash32(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs.select(col(id).cast("long").as("doc_id"),
+      explode(Portable.tokens(col(text))).as("term"))
+    val termVotes = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("th", Portable.md5Long(col("term")))
+    val bits = (0 until 32).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"_v$b")
+    }
+    termVotes.groupBy(col("doc_id"))
+      .agg(bits.head, bits.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"_v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 for the
+    * default piece split): split the 32-bit hash into 4 bytes; by
+    * pigeonhole, any pair within distance 3 agrees exactly on ≥ 1 byte —
+    * join on (piece index, piece value), then filter exact Hamming.
+    */
+  def simhashNearDups(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming <= 3, "4-piece split guarantees recall only to distance 3")
+    val pieces = hashes.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(p =>
+        shiftright(col("simhash"), p * 8).bitwiseAND(lit(0xffL))): _*))
+        .as(Seq("p", "pv")))
+    val cold = pieces.groupBy(col("p"), col("pv"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") >= 2)
+    val pruned = pieces.join(cold.select("p", "pv"), Seq("p", "pv"))
+    pruned.as("l").join(pruned.as("r"),
+        col("l.p") === col("r.p") && col("l.pv") === col("r.pv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash/tokenize helpers shared by the data-pipeline operators.
+  *
+  * The hash family is built on md5 so that every operator here is
+  * reproducible OUTSIDE Spark with identical values (the driver's DuckDB
+  * oracle computes the same `hex→int64` on its side). Spark's native
+  * `xxhash64` would be faster but engine-specific; these operators take the
+  * hash as a pluggable Column function where it matters.
+  */
+object Portable {
+
+  /** First 60 bits of md5(s) as a non-negative long (15 hex chars).
+    * Portable: `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)` in DuckDB,
+    * `conv(substring(md5(s),1,15),16,10)` here.
+    */
+  def md5Long(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** j-th member of the md5 hash family (for minhash signatures). */
+  def md5LongSeeded(j: Int, s: Column): Column =
+    md5Long(concat(lit(j.toString), lit(":"), s))
+
+  /** Whitespace tokens (engine tokenizer semantics: single-space split,
+    * empties dropped).
+    */
+  def tokens(text: Column): Column = graft.analysis.Analyzer.tokensCol(text)
+
+  /** k-token shingles: sliding windows joined by a single space.
+    * `transform(sequence(...))` keeps it inside codegen. Docs with fewer
+    * than k tokens produce no shingles.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o + 1)): _*))
+    ).otherwise(array())
+  }
+}

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, sign-LSH bucketing as the approximate scale path, and
+  * embedding-cosine near-duplicate pairs.
+  *
+  * Vectors are `array<float>` columns; all math is done in double via
+  * `zip_with` + `aggregate` (codegen'd, index order — deterministic
+  * accumulation), no UDFs.
+  */
+object Similarity {
+
+  /** Σ a(i)·b(i) accumulated in double, in index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k against a literal query vector: one
+    * scan, no shuffle, top-k via TakeOrderedAndProject. The baseline every
+    * ANN variant is parity-tested against.
+    */
+  def cosineTopK(emb: DataFrame, id: String, vec: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    emb.select(col(id).cast("long").as("vec_id"),
+        cosine(col(vec), q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Sign-LSH bucket id: bit b of the bucket = sign(v · h_b) where h_b is a
+    * deterministic ±1 hyperplane derived from md5(b, dim). nBits ≤ 16
+    * keeps buckets populated at moderate corpus sizes.
+    */
+  def signLshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { b =>
+      // hyperplane component h_b(i) ∈ {−1, +1}, derived portably
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (v, i) =>
+          v.cast("double") *
+            when(Portable.md5Long(concat(lit(s"hp:$b:"), i.cast("string")))
+              .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1), b)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** (vec_id, bucket) assignment for the whole corpus. */
+  def lshBuckets(emb: DataFrame, id: String, vec: String, dim: Int,
+      nBits: Int): DataFrame =
+    emb.select(col(id).cast("long").as("vec_id"),
+      signLshBucket(col(vec), dim, nBits).as("bucket"))
+
+  /** Approximate cosine top-k: score only vectors in the query's LSH
+    * bucket (plus all buckets at Hamming distance 1 — cheap multiprobe
+    * that recovers most sign-flip misses).
+    */
+  def lshCosineTopK(emb: DataFrame, id: String, vec: String, dim: Int,
+      nBits: Int, query: Seq[Float], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qdf = Seq(Tuple1(query)).toDF("qv")
+      .select(signLshBucket(col("qv").cast("array<float>"), dim, nBits).as("b"))
+    val qb = qdf.head().getInt(0)
+    val probes = qb +: (0 until nBits).map(b => qb ^ (1 << b))
+    val q = array(query.map(v => lit(v)): _*)
+    emb.select(col(id).cast("long").as("vec_id"), col(vec).as("v"),
+        signLshBucket(col(vec), dim, nBits).as("bucket"))
+      .filter(col("bucket").isin(probes: _*))
+      .select(col("vec_id"), cosine(col("v"), q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidates share an LSH bucket
+    * (self-join on bucket, capped), exact cosine filter ≥ minCos.
+    */
+  def cosineNearDups(emb: DataFrame, id: String, vec: String, dim: Int,
+      nBits: Int, minCos: Double, maxBucket: Int = 10000): DataFrame = {
+    val b = emb.select(col(id).cast("long").as("vec_id"), col(vec).as("v"),
+      signLshBucket(col(vec), dim, nBits).as("bucket"))
+    val cold = b.groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") >= 2)
+    val pruned = b.join(cold.select("bucket"), Seq("bucket"))
+    pruned.as("l").join(pruned.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+        cosine(col("l.v"), col("r.v")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline. All
+  * narrow (no shuffle): per-row column expressions over the text column,
+  * fully codegen'd, so they scale linearly with input splits.
+  */
+object TextStats {
+
+  /** Default English stopword markers (small, deterministic). */
+  val StopWords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "by", "at", "this", "that")
+
+  /** Per-doc token counts: whitespace tokens and "BPE-ish" regex tokens
+    * (letter runs / digit runs / single punctuation marks — the usual
+    * pre-tokenizer shape).
+    */
+  def tokenCounts(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).cast("long").as("doc_id"),
+      size(Portable.tokens(col(text))).as("ws_tokens"),
+      size(regexp_extract_all(col(text),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("re_tokens"))
+
+  /** Per-doc quality signals + a deterministic composite score in micro
+    * units: token count band, mean token length band, stopword ratio,
+    * alphabetic character ratio.
+    */
+  def qualityScores(docs: DataFrame, id: String, text: String,
+      stopwords: Seq[String] = StopWords): DataFrame = {
+    val t = Portable.tokens(col(text))
+    val nTok = size(t).cast("double")
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + octet_length(x))
+      .cast("double")
+    val stopHits = size(filter(t, x => x.isin(stopwords.map(lit): _*)))
+      .cast("double")
+    val alpha = size(regexp_extract_all(col(text), lit("[A-Za-z]"), lit(0)))
+      .cast("double")
+    val chars = octet_length(col(text)).cast("double")
+    docs.select(
+      col(id).cast("long").as("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      when(nTok > 0, sumLen / nTok).otherwise(lit(0.0)).as("mean_tok_len"),
+      when(nTok > 0, stopHits / nTok).otherwise(lit(0.0)).as("stopword_ratio"),
+      when(chars > 0, alpha / chars).otherwise(lit(0.0)).as("alpha_ratio"))
+      .withColumn("quality",
+        // bounded [0,1]: length band × (stopwords present but not dominant)
+        // × alphabetic density — a simple, fully-deterministic composite
+        least(col("n_tokens").cast("double") / lit(20.0), lit(1.0)) *
+          (lit(1.0) - abs(col("stopword_ratio") - lit(0.1))) *
+          col("alpha_ratio"))
+  }
+
+  /** N-gram/stopword-heuristic language ID: score each candidate language
+    * by its marker-word hit ratio; emit argmax with deterministic
+    * (score desc, lang asc) tiebreak. Markers are a pluggable map.
+    */
+  def languageId(docs: DataFrame, id: String, text: String,
+      markers: Map[String, Seq[String]] = DefaultLangMarkers): DataFrame = {
+    val t = Portable.tokens(col(text))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val ratio = size(filter(t, x => x.isin(words.map(lit): _*))).cast("double") /
+        greatest(size(t), lit(1)).cast("double")
+      // negated ratio first so an ASC struct sort = (ratio desc, lang asc)
+      struct((-ratio).as("nr"), lit(lang).as("lang"), ratio.as("hit_ratio"))
+    }
+    docs.select(col(id).cast("long").as("doc_id"),
+      sort_array(array(scored: _*)).as("_s"))
+      .select(col("doc_id"),
+        col("_s")(0).getField("lang").as("lang_pred"),
+        col("_s")(0).getField("hit_ratio").as("hit_ratio"))
+  }
+
+  /** lang → marker words. Tiny on purpose: a real deployment swaps in
+    * per-language frequency tables; the operator shape (scores → argmax)
+    * is what matters.
+    */
+  val DefaultLangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"))
+
+  /** Deterministic document fingerprint: md5 over the normalized text
+    * (lower-cased, whitespace collapsed) — the exact-dedup key.
+    */
+  def fingerprints(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).cast("long").as("doc_id"),
+      md5(regexp_replace(trim(lower(col(text))), "\\s+", " ")).as("fingerprint"))
+}
