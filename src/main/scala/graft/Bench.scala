@@ -1,24 +1,116 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.index.IndexCatalog
+import graft.query.QueryEngine
+import graft.score.BM25
+import graft.tools.SourceCodeGen
+
+/** Driver benchmark main: prints ONE JSON line with
+  *  - per-contract-query seconds at `SPARK_GRAFT_SF_DIR` (driver metric),
+  *  - index-BUILD throughput (files/sec) on the synthetic north-star
+  *    `source_code` corpus (two indexed fields: content, path),
+  *  - BM25 top-k latency p50 over the reference-style query set on the
+  *    built index.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_BENCH_FILES (source_code corpus size, default 200000).
+  * Scaling-efficiency evidence (N vs 4N cores) is produced by
+  * [[graft.tools.ScalingBench]], which reuses [[runBuild]]/[[runQueries]].
+  */
 object Bench {
+
+  /** Full persisted index build (all stages written + published via
+    * [[IndexCatalog]]) over a fresh synthetic corpus; returns (files/sec,
+    * seconds, files). The output dir is wiped first so nothing resumes.
+    */
+  /** Materialize the synthetic corpus as a parquet table (the north-star
+    * input is a TABLE, so generation cost must not pollute the indexing
+    * metric). Reused across build runs of the same size.
+    */
+  def corpusTable(spark: SparkSession, nFiles: Long): String = {
+    val dir = s"/tmp/graft_bench_corpus_$nFiles"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))) {
+      f.delete(p, true)
+      // 64 files so the indexing scan parallelizes regardless of core
+      // count (one big file would cap the tokenize stage at
+      // size/maxPartitionBytes splits)
+      SourceCodeGen.generate(spark, nFiles).repartition(64)
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  def runBuild(spark: SparkSession, nFiles: Long,
+      root: String = "/tmp/graft_bench_index"): (Double, Double, Long) = {
+    val src = spark.read.parquet(corpusTable(spark, nFiles))
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(hadoopPath, true)
+    val t0 = System.nanoTime()
+    IndexCatalog.build(src, "doc_id", Seq("content", "path"), root)
+    val secs = (System.nanoTime() - t0) / 1e9
+    (nFiles / secs, secs, nFiles)
+  }
+
+  /** Reference-style query mix: exact single term, exact multi-term
+    * disjunction, prefix expansion, hot term.
+    */
+  val QuerySet: Seq[String] = Seq("ident7", "val return ident42",
+    "Modu", "import", "fn match ident1")
+
+  /** Median per-query latency (seconds) of BM25 top-10 over a cached
+    * index built from nFiles synthetic docs.
+    */
+  def runQueries(spark: SparkSession, nFiles: Long, reps: Int = 3,
+      root: String = "/tmp/graft_bench_index"): Double = {
+    // queries run against the PERSISTED index (partition-pruned scans),
+    // reusing the artifact runBuild left behind (rebuilt if absent)
+    val idx = try IndexCatalog.read(spark, root) catch {
+      case _: Throwable => runBuild(spark, nFiles, root); IndexCatalog.read(spark, root)
+    }
+    QueryEngine.query(idx, QuerySet.head, BM25(), limit = 10).collect() // warm
+    val times = for (_ <- 1 to reps; q <- QuerySet) yield {
+      val t0 = System.nanoTime()
+      QueryEngine.query(idx, q, BM25(), limit = 10).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sorted = times.sorted
+    sorted(sorted.size / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "200000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // driver contract: per-query seconds at sfDir
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+
+    // headline: build throughput + query latency on the synthetic corpus
+    val (fps, buildSecs, files) = runBuild(spark, nFiles)
+    val p50 = runQueries(spark, nFiles)
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""build_files":$files,"build_secs":$buildSecs,"build_files_per_sec":$fps,""" +
+      s""""bm25_topk_p50_secs":$p50,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

@@ -45,7 +45,11 @@ final case class InvertedIndex(
     /** Cheap driver-side knowledge that no doc was ever removed; lets the
       * query path skip the anti-join entirely (common case at scale).
       */
-    hasTombstones: Boolean
+    hasTombstones: Boolean,
+    /** Precomputed stats (persisted index): avoids the docstats scan per
+      * query. Only trusted while no tombstones exist.
+      */
+    statsHint: Option[FieldStats] = None
 ) {
 
   /** Live docstats (tombstoned docs excluded). */
@@ -65,6 +69,7 @@ final case class InvertedIndex(
     * literals.
     */
   def fieldStats(): FieldStats = {
+    if (!hasTombstones && statsHint.isDefined) return statsHint.get
     val aggs = count(lit(1)).as("n") +:
       (0 until numFields).map(i =>
         coalesce(sum(element_at(col("fl"), i + 1)), lit(0L)).as(s"s$i"))

@@ -1,0 +1,120 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.index.{InvertedIndex, PostingBlocks}
+import graft.score.BM25
+
+/** Block-max WAND-style top-k over compressed posting blocks
+  * (north_star: "posting-list intersection with block-max WAND top-k
+  * pruning over broadcast term statistics").
+  *
+  * Blocks share GLOBAL doc-id ranges across terms, so a sound per-range
+  * score upper bound exists without decoding anything:
+  *
+  *   UB(range) = Σ_queryTerm max_expansion idf·eboost·Σ_x boost_x·tfn⁺(maxTf_x)
+  *
+  * where `tfn⁺(t) = (k1+1)·t / (k1·(1−b) + t)` bounds the BM25 tf-norm for
+  * ANY field length / average (denominator lower bound at fl=0) — the
+  * metadata-only mirror of the scoring merge rule (max within a query
+  * term's expansions, sum across query terms).
+  *
+  * Three-phase, all distributed, one tiny driver action for the threshold:
+  *  1. θ-probe: exact-score the `probeBlocks` ranges with the highest UB;
+  *     the k-th best score found is a valid pruning threshold θ (those k
+  *     docs are real, so nothing scoring < θ can reach the top k).
+  *  2. prune: keep ranges with UB ≥ θ — at 10^12 docs this is the
+  *     difference between decoding every posting of a hot term and
+  *     decoding the few ranges that can still matter.
+  *  3. exact: decode surviving blocks, score with the SAME expressions as
+  *     the exhaustive path, global top-k.
+  *
+  * Falls back to the exhaustive path when the index has tombstones (stale
+  * df would break the upper bound) or the expansion set exceeds the
+  * collect cap. Parity with the exhaustive path is asserted in
+  * BlockMaxSpec.
+  */
+object BlockMaxTopK {
+
+  /** @param blocks   block table from [[PostingBlocks.fromPostings]]
+    * @param k        top-k size (> 0)
+    * @param probeBlocks  number of highest-UB ranges exact-scored to seed θ
+    */
+  def query(idx: InvertedIndex, blocks: Dataset[PostingBlocks.Block],
+      queryString: String, model: BM25, boosts: Seq[Double] = Nil, k: Int = 10,
+      blockSize: Long = PostingBlocks.DefaultBlockSize, probeBlocks: Int = 8,
+      maxCollectedExpansions: Int = 4096): DataFrame = {
+    require(k > 0, "block-max path is top-k only")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
+
+    if (idx.hasTombstones) // stale df ⇒ UB unsound; exhaustive handles it
+      return QueryEngine.query(idx, queryString, model, fb, k)
+
+    val raw = Analyzer.tokenizeRaw(queryString)
+    val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
+    if (qterms.isEmpty)
+      return QueryEngine.query(idx, queryString, model, fb, k)
+
+    // resolve expansions against the dictionary; need them collected to
+    // broadcast per-term UB factors into the block metadata scan
+    val prefixPred = qterms.map { case (_, t) => col("term").startsWith(lit(t)) }.reduce(_ || _)
+    val qdf = qterms.toSeq.toDF("qti", "qterm")
+    val expAll = idx.termdict.filter(prefixPred)
+      .join(broadcast(qdf), col("term").startsWith(col("qterm")))
+      .select(col("qti"), col("qterm"), col("term").as("exp_term"),
+        col("df").cast("long").as("df"))
+    val collected = expAll.limit(maxCollectedExpansions + 1).collect()
+    if (collected.isEmpty) return QueryEngine.query(idx, queryString, model, fb, k)
+    if (collected.length > maxCollectedExpansions)
+      return QueryEngine.query(idx, queryString, model, fb, k)
+
+    val expDf = collected.toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toDF("qti", "qterm", "exp_term", "df")
+    val stats = idx.fieldStats()
+    // idf/eboost via the SAME column expressions as the scorer (bit-equal)
+    val expWithCols = model.expansionColumns(expDf, stats)
+    val eterms = collected.map(_.getString(2)).distinct.toSeq
+
+    // ---- block metadata → per-range upper bounds ----
+    val k1 = model.k1; val b = model.b
+    val tfnUb = (x: Int) => {
+      val tf = element_at(col("max_tf"), x + 1).cast("double")
+      (lit(k1 + 1.0) * tf) / (lit(k1) * lit(1.0 - b) + tf) * lit(fb(x))
+    }
+    val perFieldUb = (0 until idx.numFields).map(tfnUb).reduce(_ + _)
+    val meta = blocks.toDF().filter(col("term").isin(eterms: _*))
+      .select(col("term"), col("block_id"), col("max_tf"))
+      .join(broadcast(expWithCols), col("term") === col("exp_term"))
+      .select(col("block_id"), col("qti"),
+        (perFieldUb * col("idf") * col("eboost")).as("ub"))
+    val rangeUb = meta
+      .groupBy(col("block_id"), col("qti")).agg(max(col("ub")).as("mub"))
+      .groupBy(col("block_id")).agg(sum(col("mub")).as("ub"))
+
+    // ---- phase 1: θ from the highest-UB ranges ----
+    val probeIds = rangeUb.orderBy(col("ub").desc, col("block_id").asc)
+      .limit(probeBlocks).select("block_id").collect().map(_.getLong(0)).toSeq
+    val probeCand = PostingBlocks.toPostings(
+      blocks.filter(col("term").isin(eterms: _*) &&
+        col("block_id").isin(probeIds: _*)).as[PostingBlocks.Block],
+      idx.numFields, blockSize)
+    val probeScores = QueryEngine.scoreCandidates(
+      idx, probeCand, expDf, model, fb, raw.length, k)
+    val probed = probeScores.collect()
+    val theta = if (probed.length >= k) probed(k - 1).getDouble(1) else Double.NegativeInfinity
+
+    // ---- phase 2+3: prune ranges by θ, decode survivors, exact top-k ----
+    val survivors = rangeUb.filter(col("ub") >= theta).select("block_id")
+    val cand = PostingBlocks.toPostings(
+      blocks.filter(col("term").isin(eterms: _*)).toDF()
+        .join(broadcast(survivors), Seq("block_id"), "left_semi")
+        .as[PostingBlocks.Block],
+      idx.numFields, blockSize)
+    QueryEngine.scoreCandidates(idx, cand, expDf, model, fb, raw.length, k)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,11 +16,8 @@ import graft.score.ScoreModel
   *   query string ── tokenize (driver, trivial)
   *   term_dict  ⋈_startsWith broadcast(query terms)   → expansions
   *              (reference expand_term, query.rs:108-147: trie prefix DFS
-  *               ≡ prefix predicate on the sorted dictionary; a tiny
-  *               broadcast-nested-loop join, one dictionary scan)
-  *   postings   ── filter(prefix-OR)                  (pushed to the scan /
-  *                                                     partition-pruned on a
-  *                                                     persisted index)
+  *               ≡ prefix predicate on the term dictionary)
+  *   postings   ── filter(term/bucket IN expansions, or prefix-OR)
   *              ── anti ⋈ tombstones                  (skipped when none)
   *              ⋈ broadcast(expansions + per-term precalc columns)
   *              ── ScoreModel.score                   (one shuffle on doc_id)
@@ -28,9 +25,19 @@ import graft.score.ScoreModel
   *                                                     TakeOrderedAndProject)
   * }}}
   *
-  * The query side is always tiny (a handful of terms × their expansions),
-  * so every join against postings is a broadcast hash join — no shuffle of
-  * the big table; the only exchange is the final per-doc aggregation.
+  * Expansion resolution runs against the term DICTIONARY first (tiny
+  * relative to postings — one row per distinct term). When the expansion
+  * set fits under `maxCollectedExpansions` it is collected and the posting
+  * scan gets literal `bucket IN (…) AND term IN (…)` predicates — on a
+  * persisted index (hash-bucketed by term, [[graft.index.IndexCatalog]])
+  * that is PARTITION PRUNING: a query touches only the buckets of its
+  * expanded terms, not the 10^12-row posting store. Pathologically broad
+  * prefixes fall back to a non-collected plan with a `startsWith` scan
+  * predicate, preserving the reference's unbounded-expansion semantics.
+  *
+  * The query side is always tiny, so every join against postings is a
+  * broadcast hash join — the only exchange over big data is the final
+  * per-doc aggregation.
   */
 object QueryEngine {
 
@@ -38,14 +45,19 @@ object QueryEngine {
     StructField("doc_id", LongType, nullable = false),
     StructField("score", DoubleType, nullable = false)))
 
+  private def emptyResult(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], resultSchema)
+
   /** All matched documents with scores, ordered by the canonical total
     * order (score desc, doc_id asc — the reference harness tiebreak,
     * /root/reference/src/lib.rs:54-58). Pass `limit > 0` for top-k (the
     * reference returns all matches; query.rs:103).
     */
   def query(idx: InvertedIndex, queryString: String, model: ScoreModel,
-      boosts: Seq[Double] = Nil, limit: Int = -1): DataFrame = {
+      boosts: Seq[Double] = Nil, limit: Int = -1,
+      maxCollectedExpansions: Int = 4096): DataFrame = {
     val spark = idx.postings.sparkSession
+    import spark.implicits._
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
     require(fb.size == idx.numFields, "one boost per field")
 
@@ -53,35 +65,63 @@ object QueryEngine {
     // query_terms_len; empty terms are skipped in the scoring loop.
     val raw = Analyzer.tokenizeRaw(queryString)
     val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
-    if (qterms.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], resultSchema)
+    if (qterms.isEmpty) return emptyResult(spark)
 
     val prefixPred = qterms.map { case (_, t) => col("term").startsWith(lit(t)) }.reduce(_ || _)
-
-    // Candidate postings: prefix-pruned scan, tombstones anti-joined.
-    val cand = idx.livePostings.filter(prefixPred)
-
-    // Expansions with LIVE df. With no tombstones the prebuilt dictionary df
-    // is already live; with tombstones present df must be recounted over
-    // live postings (reference count_documents skips removed pointers at
-    // query time, /root/reference/src/index.rs:281-297). Either way the
-    // recount runs on the pruned candidate set only.
-    val liveDict =
-      if (idx.hasTombstones) cand.groupBy(col("term")).agg(sum(col("occ")).as("df"))
-      else idx.termdict.filter(prefixPred)
-
-    import spark.implicits._
+    val hasBucket = idx.postings.columns.contains("bucket")
     val qdf = qterms.toSeq.toDF("qti", "qterm")
-    val exp = liveDict
-      .join(broadcast(qdf), col("term").startsWith(col("qterm")))
-      .select(col("qti"), col("qterm"), col("term").as("exp_term"), col("df"))
 
+    // Resolve the expansion sets against the dictionary (reference
+    // expand_term). Collected when small → literal pruning predicates.
+    val bucketCol = if (idx.termdict.columns.contains("bucket")) col("bucket") else lit(-1)
+    val expAll = idx.termdict.filter(prefixPred)
+      .join(broadcast(qdf), col("term").startsWith(col("qterm")))
+      .select(col("qti"), col("qterm"), col("term").as("exp_term"),
+        col("df").cast("long").as("df"), bucketCol.cast("int").as("bucket"))
+    val collected = expAll.limit(maxCollectedExpansions + 1).collect()
+
+    val (cand0, exp) =
+      if (collected.length <= maxCollectedExpansions) {
+        if (collected.isEmpty) return emptyResult(spark)
+        val eterms = collected.map(_.getString(2)).distinct.toSeq
+        val termPred = col("term").isin(eterms: _*)
+        val pred =
+          if (hasBucket) col("bucket").isin(collected.map(_.getInt(4)).distinct.toSeq: _*) && termPred
+          else termPred
+        val expDf = collected.toSeq
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toDF("qti", "qterm", "exp_term", "df")
+        (idx.livePostings.filter(pred), expDf)
+      } else {
+        // unbounded expansion: keep everything as a DataFrame
+        (idx.livePostings.filter(prefixPred),
+          expAll.select(col("qti"), col("qterm"), col("exp_term"), col("df")))
+      }
+
+    // With tombstones present the dictionary df is stale: recount over LIVE
+    // candidate postings (reference count_documents skips removed pointers
+    // at query time, /root/reference/src/index.rs:281-297). Terms whose
+    // live df hits 0 drop out — same as the reference's df>0 guard.
+    val expLive =
+      if (idx.hasTombstones) {
+        val liveDf = cand0.groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
+        exp.drop("df").join(liveDf, col("exp_term") === col("term"))
+          .select(col("qti"), col("qterm"), col("exp_term"), col("ldf").as("df"))
+      } else exp
+
+    scoreCandidates(idx, cand0, expLive, model, fb, raw.length, limit)
+  }
+
+  /** Score a candidate-postings DataFrame against a resolved expansion set:
+    * the shared tail of the exhaustive path and [[BlockMaxTopK]].
+    */
+  private[graft] def scoreCandidates(idx: InvertedIndex, cand: DataFrame,
+      exp: DataFrame, model: ScoreModel, fb: Seq[Double], qlenRaw: Int,
+      limit: Int): DataFrame = {
     val stats = idx.fieldStats()
     val expCols = model.expansionColumns(exp, stats)
-
     val joined = cand.join(broadcast(expCols), col("term") === col("exp_term"))
-
-    val scored = model.score(joined, stats, fb, raw.length, idx.numFields)
+    val scored = model.score(joined, stats, fb, qlenRaw, idx.numFields)
       .orderBy(col("score").desc, col("doc_id").asc)
     if (limit > 0) scored.limit(limit) else scored
   }

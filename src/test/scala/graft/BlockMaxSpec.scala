@@ -1,0 +1,96 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IndexBuilder, IndexCatalog, PostingBlocks}
+import graft.query.{BlockMaxTopK, QueryEngine}
+import graft.score.BM25
+import graft.tools.SourceCodeGen
+
+/** Varint/delta block codec + block-max WAND parity with the exhaustive
+  * scoring path.
+  */
+class VarintSpec extends AnyFunSuite {
+  test("varint roundtrip: boundaries") {
+    val vals = Seq(0L, 1L, 127L, 128L, 255L, 16383L, 16384L,
+      Int.MaxValue.toLong, Long.MaxValue)
+    val out = new ByteArrayOutputStream()
+    vals.foreach(v => PostingBlocks.writeVarint(out, v))
+    val buf = out.toByteArray
+    var pos = 0
+    vals.foreach { v =>
+      val (got, p) = PostingBlocks.readVarint(buf, pos)
+      assert(got == v); pos = p
+    }
+    assert(pos == buf.length)
+  }
+
+  test("varint roundtrip: 1000 seeded randoms") {
+    val rnd = new scala.util.Random(42)
+    val vs = Seq.fill(1000)(math.abs(rnd.nextLong()) >>> rnd.nextInt(60))
+    val out = new ByteArrayOutputStream()
+    vs.foreach(v => PostingBlocks.writeVarint(out, v))
+    val buf = out.toByteArray
+    var pos = 0
+    vs.foreach { v =>
+      val (got, p) = PostingBlocks.readVarint(buf, pos)
+      assert(got == v); pos = p
+    }
+  }
+
+  test("block encode/decode roundtrip: 100 seeded random blocks") {
+    val rnd = new scala.util.Random(7)
+    val blockSize = 64L
+    for (_ <- 1 to 100) {
+      val bid = rnd.nextInt(6).toLong
+      val entries = Seq.fill(1 + rnd.nextInt(40))(
+        (bid * blockSize + rnd.nextInt(64), Seq(1 + rnd.nextInt(9), rnd.nextInt(8)),
+          Seq(3 + rnd.nextInt(9), 1 + rnd.nextInt(8))))
+        .distinctBy(_._1).sortBy(_._1)
+      val b = PostingBlocks.encode("t", bid, blockSize, entries, 2)
+      val back = PostingBlocks.decode(b, blockSize, 2).toSeq
+      assert(back.map(d => (d.doc_id, d.tf, d.fl)) == entries)
+      assert(back.forall(d => d.occ == d.tf.sum))
+      assert(b.max_tf == Seq(entries.map(_._2(0)).max, entries.map(_._2(1)).max))
+      assert(b.min_doc == entries.head._1 && b.max_doc == entries.last._1)
+    }
+  }
+}
+
+class BlockMaxSpec extends TestBase {
+
+  test("block-max top-k is identical to exhaustive top-k (source_code corpus)") {
+    val src = SourceCodeGen.generate(spark, 2000)
+    val idx = IndexBuilder.build(src, "doc_id", Seq("content", "path")).cached()
+    // small blocks so many ranges exist and pruning actually happens
+    val blocks = PostingBlocks.fromPostings(idx.postings, 2, blockSize = 128).cache()
+    for (q <- Seq("import", "ident7 val", "Modu", "fn match ident1", "zzz-nope")) {
+      val exact = QueryEngine.query(idx, q, BM25(), limit = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val wand = BlockMaxTopK.query(idx, blocks, q, BM25(), k = 10, blockSize = 128)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(wand == exact, s"mismatch for query '$q'")
+    }
+    idx.unpersist(); blocks.unpersist()
+  }
+
+  test("blocks round-trip through the persisted catalog") {
+    val root = java.nio.file.Files.createTempDirectory("graft_blocks_").toString
+    val src = SourceCodeGen.generate(spark, 300)
+    val idx = IndexCatalog.build(src, "doc_id", Seq("content", "path"), root, nBuckets = 8)
+    IndexCatalog.buildBlocks(spark, root, blockSize = 64)
+    val (blocks, bs) = IndexCatalog.readBlocks(spark, root)
+    assert(bs == 64)
+    val exact = QueryEngine.query(idx, "import ident3", BM25(), limit = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wand = BlockMaxTopK.query(idx, blocks, "import ident3", BM25(), k = 5, blockSize = bs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wand == exact)
+    // decoded block postings == original postings
+    val back = PostingBlocks.toPostings(blocks, 2, bs)
+    assert(back.count() == idx.postings.count())
+    assert(back.exceptAll(idx.postings.select("term", "doc_id", "tf", "fl", "occ")).count() == 0)
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Training-data pipeline operators: semantics on synthetic corpora with
+  * known duplicates, and approximate paths validated against exact ones.
+  */
+class PipelineSpec extends TestBase {
+  import scala.collection.immutable.Seq
+
+  private def docsWithDups = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (2L, "The  Quick Brown fox jumps over the lazy dog"), // norm-dup of 0
+      (3L, "the quick brown fox jumps over a sleepy dog"), // near-dup
+      (4L, "completely different content about spark engines"),
+      (5L, "entirely unrelated text regarding database systems")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds normalized duplicate groups") {
+    val groups = Dedup.exactDupGroups(docsWithDups, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getLong(1) == 3) // docs 0,1,2 normalize identically
+    assert(groups.head.getLong(2) == 0L) // keep_id = min
+  }
+
+  test("n-gram jaccard pairs rank the near-dup above unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docsWithDups, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    // 0-1-2 mutually identical → jaccard 1.0; 0-3 share most shingles
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) > 0.3 && pairs((0L, 3L)) < 1.0)
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("minhash+LSH candidates recover exact and near duplicates") {
+    val sigs = Dedup.minhashSignatures(docsWithDups, "doc_id", "text", 3, 8)
+    // identical docs ⇒ identical signatures
+    val s01 = sigs.filter(col("doc_id").isin(0L, 1L))
+      .groupBy("h").agg(countDistinct("minhash").as("d")).collect()
+    assert(s01.forall(_.getLong(1) == 1))
+    val cands = Dedup.lshCandidates(sigs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+    assert(!cands.contains((4L, 5L)))
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val h = Dedup.simhash32(docsWithDups, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h(0L) == h(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(0L), h(3L)) < hamming(h(0L), h(4L)))
+    val nd = Dedup.simhashNearDups(Dedup.simhash32(docsWithDups, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 1L)))
+  }
+
+  test("sign-LSH top-k matches brute force on the real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 7).select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val approx = Similarity.lshCosineTopK(emb, "vec_id", "embedding", 64, 8, q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    // the query vector itself must be found, and recall@5 ≥ 2/5 with
+    // 8-bit buckets + hamming-1 multiprobe on 500 vectors
+    assert(approx.contains(7L))
+    assert(exact.toSet.intersect(approx.toSet).size >= 2,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("cosine near-dup pairs: self-similar clusters only") {
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    // append exact copies with shifted ids → cos = 1 pairs must be found
+    val dup = base.select((col("vec_id") + 1000).as("vec_id"), col("embedding"), col("label"))
+    val pairs = Similarity.cosineNearDups(base.union(dup), "vec_id", "embedding", 64, 8, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 50).forall(i => pairs.contains((i.toLong, i + 1000L))))
+  }
+
+  test("language-ID prefers the language whose markers dominate") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the cat and the dog of the house"),
+      (1L, "el gato y la casa de la ciudad que es"),
+      (2L, "le chat et les maisons des villes est")).toDF("doc_id", "text")
+    val out = TextStats.languageId(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(0L) == "en" && out(1L) == "es" && out(2L) == "fr")
+  }
+
+  test("quality score is bounded and penalizes token-free docs") {
+    import spark.implicits._
+    val d = Seq((0L, "the quick brown fox is a good doc with many fine tokens " +
+      "and some more words here to pass twenty tokens total okay"),
+      (1L, ""), (2L, "!!! ### $$$")).toDF("doc_id", "text")
+    val q = TextStats.qualityScores(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("quality"))).toMap
+    assert(q(0L) > 0.5 && q(0L) <= 1.0)
+    assert(q(1L) == 0.0)
+    assert(q(2L) < 0.1)
+  }
+
+  test("multimodal decode stub: schema, determinism, batch plumbing") {
+    val media = Multimodal.syntheticMedia(docsWithDups, "doc_id", "text")
+    val a = Multimodal.decodeFeatures(media, "doc_id", "media").collect()
+    val b = Multimodal.decodeFeatures(media, "doc_id", "media").collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+    assert(a.length == 6)
+    val r = a.find(_.getLong(0) == 0L).get
+    assert(r.getLong(1) == docsWithDups.filter(col("doc_id") === 0).head().getString(1).length)
+    assert(Seq("png", "jpeg", "webp").contains(r.getString(2)))
+    assert(r.getSeq[Float](5).length == 8)
+  }
+}
