@@ -250,6 +250,22 @@ object SparkEntry {
         .head().getSeq[Float](0)
       Similarity.lshCosineTopK(e, "vec_id", "embedding", 64, 8, q, 20)
         .select(col("vec_id"), micro(col("cos")).as("cos_micro"))
+    }),
+
+    // input_hint per-row invariant: content sha256 equality vs the source
+    "q23_sha" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+        .orderBy("doc_id")),
+
+    // block-max WAND top-k over compressed posting blocks (rows-only —
+    // exact parity with the exhaustive path is asserted in BlockMaxSpec;
+    // a LIMIT-k oracle would be tie-unstable at the cut)
+    "q24_wand" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val blocks = graft.index.PostingBlocks.fromPostings(idx.postings, 1, 512)
+      graft.query.BlockMaxTopK.query(idx, blocks, "spar merge", BM25(),
+        k = 20, blockSize = 512)
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
     })
   )
 
@@ -370,6 +386,9 @@ object SparkEntry {
         |SELECT doc_id, lang AS lang_pred, CAST(round(ratio * 1000000.0) AS BIGINT) AS ratio_micro FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q20_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents ORDER BY doc_id""".stripMargin
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_sha" ->
+      "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id"
   )
 }

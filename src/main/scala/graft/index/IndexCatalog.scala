@@ -196,6 +196,60 @@ object IndexCatalog {
     (spark.read.parquet(s"$root/blocks").drop("bucket").as[PostingBlocks.Block], bs)
   }
 
+  /** Incremental append — the reference's headline mutation
+    * (`add_document`, "optimized for insertion speed",
+    * /root/reference/README.md:6) as a batch delta: index ONLY the new
+    * docs, append their postings/docstats into the existing bucket layout,
+    * and merge the small dictionary/stats tables. Cost is O(delta), not
+    * O(corpus). New doc keys must not collide with existing ones.
+    */
+  def addDocuments(docs: DataFrame, docIdCol: String, root: String): InvertedIndex = {
+    val spark = docs.sparkSession
+    val m = readManifest(spark, root)
+    require(m.getOrElse("published", "") == "true", s"no published index at $root")
+    val fieldCols = m("config.fields").split(",").toSeq
+    val nf = fieldCols.size
+    val nb = m("config.nBuckets").toInt
+    val delta = IndexBuilder.build(docs, docIdCol, fieldCols)
+
+    delta.docstats.write.mode("append").parquet(s"$root/docstats")
+    delta.postings.withColumn("bucket", bucketOf(col("term"), nb))
+      .repartition(nb, col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$root/postings")
+
+    // termdict/fieldstats are small: merge old + delta and atomically swap
+    val f = fs(spark, root)
+    val mergedDict = spark.read.parquet(s"$root/termdict")
+      .select(col("term"), col("df"))
+      .union(delta.termdict)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .withColumn("bucket", bucketOf(col("term"), nb))
+    val tmpDict = s"$root/_tmp_termdict_merge"
+    f.delete(new Path(tmpDict), true)
+    mergedDict.write.parquet(tmpDict)
+    f.delete(new Path(s"$root/termdict"), true)
+    f.rename(new Path(tmpDict), new Path(s"$root/termdict"))
+
+    val aggs = count(lit(1)).as("n") +:
+      (0 until nf).map(i => coalesce(sum(element_at(col("fl"), i + 1)), lit(0L)).as(s"s$i"))
+    val tmpStats = s"$root/_tmp_fieldstats_merge"
+    f.delete(new Path(tmpStats), true)
+    spark.read.parquet(s"$root/docstats").agg(aggs.head, aggs.tail: _*)
+      .write.parquet(tmpStats)
+    f.delete(new Path(s"$root/fieldstats"), true)
+    f.rename(new Path(tmpStats), new Path(s"$root/fieldstats"))
+
+    // blocks (if built) are now stale for the appended ranges; drop the
+    // stage so the next buildBlocks re-creates it
+    if (m.contains("stage.blocks.rows")) {
+      f.delete(new Path(s"$root/blocks"), true)
+      writeManifest(spark, root,
+        m - "stage.blocks.rows" - "stage.blocks.secs")
+    }
+    read(spark, root)
+  }
+
   /** Persisted remove: append tombstone ids (reference `remove_document`
     * lazy-delete).
     */

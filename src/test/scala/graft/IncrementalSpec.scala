@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, IndexCatalog}
+import graft.query.QueryEngine
+import graft.score.BM25
+import graft.streaming.StreamingIndexer
+
+/** Incremental append + streaming ingestion: a persisted index extended by
+  * deltas must be indistinguishable from one built over the union.
+  */
+class IncrementalSpec extends TestBase {
+
+  private def batch(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "title", "description")
+  }
+
+  private val batchA = Seq((0L, "abc", "dfg"), (1L, "dfgh", "abcd"))
+  private val batchB = Seq((2L, "abc abc", "xyz"), (3L, "zzz", "abcf"))
+
+  test("addDocuments(delta) == build(union) for queries, stats, df") {
+    val root = Files.createTempDirectory("graft_incr_").toString
+    IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 8)
+    val incr = IndexCatalog.addDocuments(batch(batchB), "id", root)
+    val full = IndexBuilder.build(batch(batchA ++ batchB), "id", Seq("title", "description"))
+
+    for (q <- Seq("abc", "ab", "dfg zzz", "xyz")) {
+      val a = QueryEngine.query(incr, q, BM25()).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = QueryEngine.query(full, q, BM25()).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"query '$q': incremental=$a vs full=$b")
+    }
+    val sa = incr.fieldStats(); val sb = full.fieldStats()
+    assert(sa.n == sb.n && sa.sums.toSeq == sb.sums.toSeq)
+    assert(incr.termdict.select("term", "df").exceptAll(full.termdict).count() == 0)
+  }
+
+  test("appends compose with tombstones and vacuum") {
+    val root = Files.createTempDirectory("graft_incr2_").toString
+    IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 8)
+    IndexCatalog.addDocuments(batch(batchB), "id", root)
+    IndexCatalog.removeDocuments(spark, root, Seq(0L, 2L))
+    IndexCatalog.vacuum(spark, root)
+    val idx = IndexCatalog.read(spark, root)
+    val full = IndexBuilder.build(batch(Seq(batchA(1), batchB(1))), "id",
+      Seq("title", "description"))
+    val a = QueryEngine.query(idx, "abc", BM25()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = QueryEngine.query(full, "abc", BM25()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("streaming ingestion: micro-batches land as queryable deltas") {
+    val root = Files.createTempDirectory("graft_stream_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 8)
+
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("id", "title", "description")
+    mem.addData(batchB.map(r => (r._1, r._2, r._3)): _*)
+    val q = StreamingIndexer.start(stream, "id", root, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    val idx = IndexCatalog.read(spark, root)
+    assert(idx.docstats.count() == 4)
+    val got = QueryEngine.query(idx, "abc", BM25()).collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L, 2L, 3L)) // all four match "abc" or its expansions
+  }
+}
