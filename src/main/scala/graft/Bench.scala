@@ -72,12 +72,16 @@ object Bench {
     val idx = try IndexCatalog.read(spark, root) catch {
       case _: Throwable => runBuild(spark, nFiles, root); IndexCatalog.read(spark, root)
     }
-    QueryEngine.query(idx, QuerySet.head, BM25(), limit = 10).collect() // warm
+    idx.termdict.cache().count() // the dictionary is the hot small table
+    // warm each plan once (codegen compiles per distinct query); report
+    // steady-state latency
+    QuerySet.foreach(q => QueryEngine.query(idx, q, BM25(), limit = 10).collect())
     val times = for (_ <- 1 to reps; q <- QuerySet) yield {
       val t0 = System.nanoTime()
       QueryEngine.query(idx, q, BM25(), limit = 10).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    idx.termdict.unpersist()
     val sorted = times.sorted
     sorted(sorted.size / 2)
   }
