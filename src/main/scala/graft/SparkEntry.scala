@@ -252,6 +252,17 @@ object SparkEntry {
         .select(col("vec_id"), micro(col("cos")).as("cos_micro"))
     }),
 
+    // pipeline: dedup as a transform — surviving doc ids after dropping
+    // exact (normalized) duplicates from the dup-injected corpus
+    "q25_dedup_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val aug = d.select(col("doc_id"), col("text")).union(
+        d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.dropExactDups(aug, "doc_id", "text")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // input_hint per-row invariant: content sha256 equality vs the source
     "q23_sha" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), sha2(col("text"), 256).as("sha"))
@@ -389,6 +400,12 @@ object SparkEntry {
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents ORDER BY doc_id""".stripMargin,
 
     "q23_sha" ->
-      "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id"
+      "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
+
+    "q25_dedup_survivors" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |fp AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint FROM aug),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
+        |SELECT doc_id FROM keep ORDER BY doc_id""".stripMargin
   )
 }

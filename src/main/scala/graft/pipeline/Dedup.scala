@@ -28,6 +28,17 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_dups") >= 2)
 
+  /** Exact dedup as a transform: keep one survivor per normalized-content
+    * group (smallest doc id), preserving all input columns. One groupBy +
+    * one join on the (uniform) hash key.
+    */
+  def dropExactDups(docs: DataFrame, id: String, text: String): DataFrame = {
+    val fp = TextStats.fingerprints(docs, id, text)
+    val keep = fp.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, docs(id) === keep("doc_id"), "left_semi")
+  }
+
   /** Distinct k-token shingles per doc: (doc_id, shingle). */
   def docShingles(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
     docs.select(col(id).cast("long").as("doc_id"),
