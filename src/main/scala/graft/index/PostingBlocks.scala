@@ -110,13 +110,18 @@ object PostingBlocks {
 
   /** Expand a block table back to posting rows (schema-compatible with the
     * postings table, plus whatever pruning already ran on the block side).
+    * Decode runs as a native expression ([[graft.functions.BlockDecode]])
+    * + builtin explode, so rows never leave Tungsten format (a
+    * `Dataset.flatMap` would pay the case-class encoder round trip).
     */
-  def toPostings(blocks: Dataset[Block], numFields: Int,
+  def toPostings(blocks: DataFrame, numFields: Int,
       blockSize: Long = DefaultBlockSize): DataFrame = {
-    val spark = blocks.sparkSession
-    import spark.implicits._
-    val nf = numFields
-    blocks.flatMap(b => decode(b, blockSize, nf))
-      .toDF("term", "doc_id", "tf", "fl", "occ")
+    import org.apache.spark.sql.functions.{col, explode}
+    blocks
+      .select(col("term"), explode(graft.functions.BlockDecode.decodeCol(
+        col("block_id"), col("cnt"), col("docs_z"), col("tfs_z"), col("fls_z"),
+        numFields, blockSize)).as("p"))
+      .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"),
+        col("p.fl").as("fl"), col("p.occ").as("occ"))
   }
 }

@@ -100,8 +100,8 @@ object BlockMaxTopK {
     val probeIds = rangeUb.orderBy(col("ub").desc, col("block_id").asc)
       .limit(probeBlocks).select("block_id").collect().map(_.getLong(0)).toSeq
     val probeCand = PostingBlocks.toPostings(
-      blocks.filter(col("term").isin(eterms: _*) &&
-        col("block_id").isin(probeIds: _*)).as[PostingBlocks.Block],
+      blocks.toDF().filter(col("term").isin(eterms: _*) &&
+        col("block_id").isin(probeIds: _*)),
       idx.numFields, blockSize)
     val probeScores = QueryEngine.scoreCandidates(
       idx, probeCand, expDf, model, fb, raw.length, k)
@@ -111,9 +111,8 @@ object BlockMaxTopK {
     // ---- phase 2+3: prune ranges by θ, decode survivors, exact top-k ----
     val survivors = rangeUb.filter(col("ub") >= theta).select("block_id")
     val cand = PostingBlocks.toPostings(
-      blocks.filter(col("term").isin(eterms: _*)).toDF()
-        .join(broadcast(survivors), Seq("block_id"), "left_semi")
-        .as[PostingBlocks.Block],
+      blocks.toDF().filter(col("term").isin(eterms: _*))
+        .join(broadcast(survivors), Seq("block_id"), "left_semi"),
       idx.numFields, blockSize)
     QueryEngine.scoreCandidates(idx, cand, expDf, model, fb, raw.length, k)
   }

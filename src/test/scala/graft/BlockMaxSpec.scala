@@ -89,7 +89,7 @@ class BlockMaxSpec extends TestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(wand == exact)
     // decoded block postings == original postings
-    val back = PostingBlocks.toPostings(blocks, 2, bs)
+    val back = PostingBlocks.toPostings(blocks.toDF(), 2, bs)
     assert(back.count() == idx.postings.count())
     assert(back.exceptAll(idx.postings.select("term", "doc_id", "tf", "fl", "occ")).count() == 0)
   }
