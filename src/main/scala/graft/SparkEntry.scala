@@ -263,6 +263,14 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // streaming: watermarked 5-minute tumbling-window aggregation over the
+    // events stream, driven to completion with AvailableNow (a REAL
+    // streaming query — readStream/watermark/window/memory sink)
+    "q26_stream_window" -> ((s, dir) =>
+      graft.streaming.EventWindows
+        .runAvailableNow(s, s"$dir/events.parquet")
+        .orderBy("window_start", "event_type")),
+
     // input_hint per-row invariant: content sha256 equality vs the source
     "q23_sha" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), sha2(col("text"), 256).as("sha"))
@@ -401,6 +409,11 @@ object SparkEntry {
 
     "q23_sha" ->
       "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
+
+    "q26_stream_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+        |  count(*) AS n, CAST(round(sum(value) * 100.0) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q25_dedup_survivors" ->
       """WITH aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
