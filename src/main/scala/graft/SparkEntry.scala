@@ -74,7 +74,7 @@ object SparkEntry {
        |esc AS (SELECT e.qti, e.eterm,
        |  ln(1 + ((st.n - least(st.n, e.df)) + 0.5) / (least(st.n, e.df) + 0.5)) AS idf,
        |  CASE WHEN e.eterm = e.qterm THEN 1.0
-       |       ELSE ln(1 + 1.0 / (1.0 + length(e.eterm) - length(e.qterm))) END AS boost
+       |       ELSE ln(1 + 1.0 / (1.0 + strlen(e.eterm) - strlen(e.qterm))) END AS boost
        |  FROM exp e, stats st),
        |sc AS (SELECT p.doc_id, s.qti,
        |  max(((1.2 + 1.0) * p.tf) /

@@ -49,6 +49,18 @@ object Demo {
     val vacuumed = Mutations.vacuum(removed)
     QueryEngine.query(vacuumed, q, BM25(), limit = 5).show(false)
 
+    println("== persisted catalog + block-max WAND:")
+    val root = java.nio.file.Files.createTempDirectory("graft_demo_idx_").toString
+    graft.index.IndexCatalog.build(docs, "doc_id", Seq("text"), root, nBuckets = 16)
+    graft.index.IndexCatalog.buildBlocks(spark, root, blockSize = 512)
+    val pidx = graft.index.IndexCatalog.read(spark, root)
+    val (blocks, bs) = graft.index.IndexCatalog.readBlocks(spark, root)
+    graft.query.BlockMaxTopK.query(pidx, blocks, q, BM25(), k = 5, blockSize = bs).show(false)
+
+    println("== streaming windowed aggregation over events (AvailableNow):")
+    graft.streaming.EventWindows.runAvailableNow(spark, s"$dir/events.parquet")
+      .orderBy("window_start", "event_type").show(5, false)
+
     println("== physical plan of the BM25 query:")
     QueryEngine.query(idx, q, BM25(), limit = 5).explain("formatted")
 
