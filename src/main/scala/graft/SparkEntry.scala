@@ -269,6 +269,10 @@ object SparkEntry {
     "q26_stream_window" -> ((s, dir) =>
       graft.streaming.EventWindows
         .runAvailableNow(s, s"$dir/events.parquet")
+        // string-typed window edge: timestamp tz-representation differs
+        // between engines' parquet/pandas round trips
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"), col("sum_value_c"))
         .orderBy("window_start", "event_type")),
 
     // input_hint per-row invariant: content sha256 equality vs the source
@@ -411,7 +415,7 @@ object SparkEntry {
       "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
 
     "q26_stream_window" ->
-      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         |  count(*) AS n, CAST(round(sum(value) * 100.0) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
