@@ -43,6 +43,49 @@ class PersistedIndexSpec extends TestBase {
     assert(manifest1.contains("lineage.postings"))
   }
 
+  test("mid-build crash resume: completed stages are reused, not recomputed") {
+    val root = tmpRoot()
+    IndexCatalog.build(twoFieldDocs, "id", Seq("title", "description"), root, nBuckets = 8)
+    // simulate dying after the postings stage: drop the later stages from
+    // disk and manifest, as an interrupted run would leave them
+    val mPath = java.nio.file.Paths.get(s"$root/manifest.json")
+    val manifest = Files.readString(mPath)
+    val truncated = manifest.linesIterator.filterNot(l =>
+      l.contains("stage.termdict") || l.contains("stage.fieldstats") ||
+        l.contains("lineage.") || l.contains("published"))
+      .mkString("\n")
+      // keep JSON shape: last remaining entry must not end with a comma
+      .replaceAll(",\\s*\\n\\}", "\n}").replaceAll(",$", "")
+    Files.writeString(mPath, truncated.replaceAll(",(\\s*)\\}", "$1}"))
+    // the engine writes through Hadoop LocalFS which keeps a .crc sidecar;
+    // this test's out-of-band edit must drop it or reads fail the checksum
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/.manifest.json.crc"))
+    def rm(p: String): Unit = {
+      val d = new java.io.File(p)
+      if (d.exists) { d.listFiles.foreach(f => if (f.isFile) f.delete()); d.delete() }
+      ()
+    }
+    rm(s"$root/termdict"); rm(s"$root/fieldstats")
+    val postingFiles = new java.io.File(s"$root/postings").listFiles().map(f =>
+      f.getName -> f.lastModified).toMap
+
+    // resume feeds DIFFERENT (poisoned) docs: completed stages must come
+    // from disk, so the poison must NOT leak into postings
+    import spark.implicits._
+    val poisoned = Seq((0L, "poison", "poison"), (1L, "poison", "poison"))
+      .toDF("id", "title", "description")
+    val idx = IndexCatalog.build(poisoned, "id", Seq("title", "description"), root, nBuckets = 8)
+    val after = new java.io.File(s"$root/postings").listFiles().map(f =>
+      f.getName -> f.lastModified).toMap
+    assert(after == postingFiles, "postings stage was recomputed on resume")
+    assert(idx.termdict.filter(org.apache.spark.sql.functions.col("term") === "poison").count() == 0)
+    assertScores(
+      QueryEngine.query(idx, "abc", BM25()).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      Seq((0L, 0.6931471805599453), (1L, 0.28104699650060755)))
+  }
+
   test("query plan prunes posting partitions by bucket") {
     val root = tmpRoot()
     IndexCatalog.build(twoFieldDocs, "id", Seq("title", "description"), root, nBuckets = 8)
