@@ -233,6 +233,11 @@ object SparkEntry {
     "q20_fingerprint" -> ((s, dir) =>
       TextStats.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
+    // pipeline: order-sensitive rolling-hash fingerprint
+    "q27_rollhash" -> ((s, dir) =>
+      TextStats.rollingFingerprints(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // pipeline: multimodal decode stub (binary plumbing; rows-only check)
     "q21_multimodal" -> ((s, dir) =>
       Multimodal.decodeFeatures(
@@ -413,6 +418,13 @@ object SparkEntry {
 
     "q23_sha" ->
       "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
+
+    "q27_rollhash" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(0::BIGINT, list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+        |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
+        |  (a, b) -> (a * 31 + b) % 2147483647) AS rollhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q26_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,

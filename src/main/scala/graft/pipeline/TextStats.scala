@@ -89,4 +89,18 @@ object TextStats {
   def fingerprints(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).cast("long").as("doc_id"),
       md5(regexp_replace(trim(lower(col(text))), "\\s+", " ")).as("fingerprint"))
+
+  /** Polynomial ROLLING-hash fingerprint over the token stream:
+    * h = fold(tokens, 0, (acc, t) → (acc·31 + hash(t) mod P) mod P) with
+    * P = 2³¹−1 — order-sensitive (unlike a content hash, permuted docs
+    * differ), incremental, and small enough to stay exact in BIGINT math
+    * in any engine. One narrow pass, codegen'd `aggregate`.
+    */
+  def rollingFingerprints(docs: DataFrame, id: String, text: String): DataFrame = {
+    val P = 2147483647L
+    val toks = Portable.tokens(col(text))
+    val hashed = transform(toks, t => Portable.md5Long(t) % P)
+    docs.select(col(id).cast("long").as("doc_id"),
+      aggregate(hashed, lit(0L), (acc, h) => (acc * 31L + h) % P).as("rollhash"))
+  }
 }
