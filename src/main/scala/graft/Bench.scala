@@ -37,8 +37,11 @@ object Bench {
       f.delete(p, true)
       // 64 files so the indexing scan parallelizes regardless of core
       // count (one big file would cap the tokenize stage at
-      // size/maxPartitionBytes splits)
-      SourceCodeGen.generate(spark, nFiles).repartition(64)
+      // size/maxPartitionBytes splits). doc_id is MINTED from the natural
+      // (repo, path, commit) key via DocIdMint — the north-star input has
+      // no numeric key — and becomes stable by being persisted here.
+      graft.tools.DocIdMint.mint(
+        SourceCodeGen.generate(spark, nFiles).drop("doc_id").repartition(64))
         .write.mode("overwrite").parquet(dir)
     }
     dir

@@ -34,6 +34,28 @@ object Analyzer {
   def tokensCol(text: Column): Column =
     filter(split(coalesce(text, lit("")), " ", -1), t => t =!= lit(""))
 
+  // ---- pluggable tokenizers (reference `Tokenizer` is caller-supplied,
+  // /root/reference/src/lib.rs:13-14; the engine must not hardcode one) ----
+
+  /** Code-aware token pattern: identifiers (with `_`), integer literals,
+    * and each punctuation mark as its own token — what a source-code corpus
+    * needs (`foo.bar(x)` → foo, ., bar, (, x, )). Never emits empties.
+    */
+  val CodeTokenPattern = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^A-Za-z0-9_\\s]"
+  private val CodeTokenRegex = CodeTokenPattern.r
+
+  /** Column-level code tokenizer — builtin `regexp_extract_all`, stays in
+    * whole-stage codegen like [[tokensCol]]. Pass to `IndexBuilder.build`.
+    */
+  def codeTokensCol(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(CodeTokenPattern), lit(0))
+
+  /** Driver-side code tokenizer for query strings (same pattern as
+    * [[codeTokensCol]]; produces no empty tokens, so raw == filtered).
+    */
+  def codeTokenizeRaw(s: String): IndexedSeq[String] =
+    CodeTokenRegex.findAllIn(s).toIndexedSeq
+
   /** UTF-8 byte length of a string column. The reference uses Rust
     * `str::len` (bytes, not chars) in both scorers' length math
     * (/root/reference/src/score/default/bm25.rs:51-52,

@@ -45,8 +45,16 @@ object IndexBuilder {
     * @param docIdCol  unique long document key (reference key `T`)
     * @param fieldCols indexed text columns, in field order (reference
     *                  `FieldAccessor` list, /root/reference/src/lib.rs:10-11)
+    * @param tokenizer column-level tokenizer: text column → array of
+    *                  non-empty tokens (reference `Tokenizer` is
+    *                  caller-supplied per call, /root/reference/src/lib.rs:13-14;
+    *                  defaults to the reference's whitespace split, use e.g.
+    *                  [[Analyzer.codeTokensCol]] for source code). Query
+    *                  strings must then be tokenized with the matching
+    *                  driver-side tokenizer (`QueryEngine.query(…, tokenizer=…)`).
     */
-  def build(docs: DataFrame, docIdCol: String, fieldCols: Seq[String]): InvertedIndex = {
+  def build(docs: DataFrame, docIdCol: String, fieldCols: Seq[String],
+      tokenizer: Column => Column = Analyzer.tokensCol): InvertedIndex = {
     val spark = docs.sparkSession
     val nf = fieldCols.size
     require(nf > 0, "at least one indexed field")
@@ -54,7 +62,7 @@ object IndexBuilder {
     // Tokenize every field once, narrow. fl(i) = non-empty token count of
     // field i (reference field_length, /root/reference/src/index.rs:114).
     val tokCols: Seq[Column] =
-      fieldCols.zipWithIndex.map { case (f, i) => Analyzer.tokensCol(col(f)).as(s"_toks$i") }
+      fieldCols.zipWithIndex.map { case (f, i) => tokenizer(col(f)).as(s"_toks$i") }
     // Per-field lengths are carried as SCALAR int columns (not an array)
     // through the aggregation: fixed-width agg buffers keep the
     // (doc, term) groupBy inside codegen'd HashAggregate — an array-typed
@@ -117,7 +125,16 @@ object Mutations {
   def removeDocuments(idx: InvertedIndex, ids: Seq[Long]): InvertedIndex = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    val ts = ids.toDF("doc_id")
+    removeDocuments(idx, ids.toDF("doc_id"))
+  }
+
+  /** DataFrame-native tombstoning: the id set stays distributed end-to-end
+    * (a `Seq[Long]` of removals at 10^12-doc scale would have to round-trip
+    * through the driver; a predicate-derived DataFrame never does). The
+    * first column of `ids` is the doc key.
+    */
+  def removeDocuments(idx: InvertedIndex, ids: DataFrame): InvertedIndex = {
+    val ts = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
     idx.copy(
       tombstones = if (idx.hasTombstones) idx.tombstones.union(ts) else ts,
       hasTombstones = true)

@@ -202,52 +202,147 @@ object IndexCatalog {
     * docs, append their postings/docstats into the existing bucket layout,
     * and merge the small dictionary/stats tables. Cost is O(delta), not
     * O(corpus). New doc keys must not collide with existing ones.
+    *
+    * CRASH-SAFE protocol (two phases, manifest-keyed like build()):
+    *  1. STAGE: all four outputs (delta docstats, bucketed delta postings,
+    *     FULL merged termdict, FULL merged fieldstats — the last two are
+    *     small) are written under `_append_stage_<g>/` while the published
+    *     index is untouched, then `append.staged = g` is recorded.
+    *  2. PUBLISH ([[publishAppend]]): move staged part-files into the live
+    *     dirs under generation-unique names, swap termdict/fieldstats by
+    *     rename, commit `append.gen = g`. Every step is idempotent
+    *     (move-if-present, swap-if-staged-exists), so a crash anywhere is
+    *     resumed by the next [[addDocuments]]/[[resumeAppend]] call — a
+    *     partial append is always detectable (`append.staged` without the
+    *     matching `append.gen`) and never half-applied silently.
+    *
+    * Reader visibility during publish: delta postings become visible
+    * before the merged dictionary/stats swap lands — structurally
+    * consistent (postings carry their own fl) with momentarily-stale
+    * df/avg, the same lag shape as the reference's latent deletion. The
+    * termdict swap itself is rename→rename (no delete-then-recreate
+    * window where the table is missing).
     */
   def addDocuments(docs: DataFrame, docIdCol: String, root: String): InvertedIndex = {
+    val spark = docs.sparkSession
+    resumeAppend(spark, root) // finish any interrupted predecessor first
+    val g = stageAppend(docs, docIdCol, root)
+    publishAppend(spark, root, g)
+    read(spark, root)
+  }
+
+  /** Phase 1 only (STAGE): writes the four staged outputs and records
+    * `append.staged` — the published index is untouched until
+    * [[publishAppend]]. Exposed for the crash-resume test, which
+    * "crashes" here and recovers via [[resumeAppend]].
+    */
+  private[graft] def stageAppend(docs: DataFrame, docIdCol: String,
+      root: String): Int = {
     val spark = docs.sparkSession
     val m = readManifest(spark, root)
     require(m.getOrElse("published", "") == "true", s"no published index at $root")
     val fieldCols = m("config.fields").split(",").toSeq
     val nf = fieldCols.size
     val nb = m("config.nBuckets").toInt
-    val delta = IndexBuilder.build(docs, docIdCol, fieldCols)
+    val g = m.getOrElse("append.gen", "0").toInt + 1
+    val stageDir = s"$root/_append_stage_$g"
+    val f = fs(spark, root)
+    f.delete(new Path(stageDir), true)
 
-    delta.docstats.write.mode("append").parquet(s"$root/docstats")
+    val delta = IndexBuilder.build(docs, docIdCol, fieldCols)
+    delta.docstats.write.parquet(s"$stageDir/docstats")
     delta.postings.withColumn("bucket", bucketOf(col("term"), nb))
       .repartition(nb, col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$root/postings")
-
-    // termdict/fieldstats are small: merge old + delta and atomically swap
-    val f = fs(spark, root)
-    val mergedDict = spark.read.parquet(s"$root/termdict")
+      .write.partitionBy("bucket").parquet(s"$stageDir/postings")
+    spark.read.parquet(s"$root/termdict")
       .select(col("term"), col("df"))
-      .union(delta.termdict)
+      .union(spark.read.parquet(s"$stageDir/postings")
+        .groupBy(col("term")).agg(sum(col("occ")).as("df")))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .withColumn("bucket", bucketOf(col("term"), nb))
-    val tmpDict = s"$root/_tmp_termdict_merge"
-    f.delete(new Path(tmpDict), true)
-    mergedDict.write.parquet(tmpDict)
-    f.delete(new Path(s"$root/termdict"), true)
-    f.rename(new Path(tmpDict), new Path(s"$root/termdict"))
-
+      .write.parquet(s"$stageDir/termdict")
     val aggs = count(lit(1)).as("n") +:
       (0 until nf).map(i => coalesce(sum(element_at(col("fl"), i + 1)), lit(0L)).as(s"s$i"))
-    val tmpStats = s"$root/_tmp_fieldstats_merge"
-    f.delete(new Path(tmpStats), true)
-    spark.read.parquet(s"$root/docstats").agg(aggs.head, aggs.tail: _*)
-      .write.parquet(tmpStats)
-    f.delete(new Path(s"$root/fieldstats"), true)
-    f.rename(new Path(tmpStats), new Path(s"$root/fieldstats"))
+    spark.read.parquet(s"$root/docstats")
+      .union(spark.read.parquet(s"$stageDir/docstats"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.parquet(s"$stageDir/fieldstats")
+    writeManifest(spark, root, readManifest(spark, root) + ("append.staged" -> g.toString))
+    g
+  }
 
-    // blocks (if built) are now stale for the appended ranges; drop the
-    // stage so the next buildBlocks re-creates it
+  /** Recover an append interrupted between STAGE-commit and PUBLISH-commit.
+    * No-op when nothing is pending. (An interrupt BEFORE `append.staged`
+    * was recorded leaves only an orphan `_append_stage_*` dir, which the
+    * next append overwrites.)
+    */
+  def resumeAppend(spark: SparkSession, root: String): Unit = {
+    val m = readManifest(spark, root)
+    m.get("append.staged").foreach { g =>
+      if (m.getOrElse("append.gen", "0") != g) publishAppend(spark, root, g.toInt)
+    }
+  }
+
+  /** Idempotent publish of staged append generation `g`: every step checks
+    * the filesystem state it is about to change, so re-running after a
+    * crash at any point completes the remainder.
+    */
+  private def publishAppend(spark: SparkSession, root: String, g: Int): Unit = {
+    val f = fs(spark, root)
+    val stageDir = s"$root/_append_stage_$g"
+
+    // move staged data files into the live dirs under generation-unique
+    // names: a re-run skips files already moved (src gone or dst present)
+    def moveFiles(srcDir: String, dstDir: String): Unit = {
+      val sp = new Path(srcDir)
+      if (!f.exists(sp)) return // whole dir already consumed
+      f.listStatus(sp).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("bucket="))
+          moveFiles(s"$srcDir/$name", s"$dstDir/$name")
+        else if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          val dst = new Path(s"$dstDir/append_${g}_$name")
+          f.mkdirs(new Path(dstDir))
+          if (!f.exists(dst)) f.rename(st.getPath, dst)
+          else f.delete(st.getPath, false)
+        }
+      }
+    }
+    moveFiles(s"$stageDir/postings", s"$root/postings")
+    moveFiles(s"$stageDir/docstats", s"$root/docstats")
+
+    // swap the small merged tables: rename current aside, staged in, drop
+    // old — never a window with the table missing. Skip when the staged
+    // copy is gone (already swapped by a previous attempt).
+    def swap(table: String): Unit = {
+      val staged = new Path(s"$stageDir/$table")
+      if (!f.exists(staged)) return
+      val live = new Path(s"$root/$table")
+      val old = new Path(s"$root/_old_${table}_$g")
+      f.delete(old, true)
+      if (f.exists(live)) f.rename(live, old)
+      f.rename(staged, live)
+      f.delete(old, true)
+    }
+    swap("termdict")
+    swap("fieldstats")
+
+    // commit: bump the generation, clear the pending marker, refresh
+    // lineage; drop any block stage (stale for the appended doc ranges)
+    var m = readManifest(spark, root)
     if (m.contains("stage.blocks.rows")) {
       f.delete(new Path(s"$root/blocks"), true)
-      writeManifest(spark, root,
-        m - "stage.blocks.rows" - "stage.blocks.secs")
+      m = m - "stage.blocks.rows" - "stage.blocks.secs"
     }
-    read(spark, root)
+    val perBucket = spark.read.parquet(s"$root/postings")
+      .groupBy("bucket").count().orderBy("bucket").collect()
+      .map(r => s"${r.getInt(0)}=${r.getLong(1)}").mkString(";")
+    writeManifest(spark, root,
+      m - "append.staged" +
+        ("append.gen" -> g.toString) + ("lineage.postings" -> perBucket))
+    f.delete(new Path(stageDir), true)
+    ()
   }
 
   /** Persisted remove: append tombstone ids (reference `remove_document`

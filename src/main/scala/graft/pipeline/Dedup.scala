@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline: exact,
   * shingle-Jaccard, MinHash+LSH, and SimHash near-dup.
@@ -15,6 +16,12 @@ import org.apache.spark.sql.functions._
   *    takes a `maxBucket` cap and DROPS buckets above it — the standard
   *    trade (a shingle that common carries no dedup signal anyway). The cap
   *    makes worst-case work O(Σ min(|bucket|, cap)²) instead of O(n²).
+  *  - every DataFrame that feeds BOTH sides of a self-join (or ≥2 downstream
+  *    aggregations) is `persist(MEMORY_AND_DISK)`-ed at that cut point —
+  *    without it Spark re-executes the whole upstream explode pipeline once
+  *    per consumer (measured 4× on `jaccardPairs`, 76% of the round-1 bench).
+  *    On a real cluster the equivalent is a checkpoint table; MEMORY_AND_DISK
+  *    spills instead of recomputing and is evicted LRU when memory is tight.
   */
 object Dedup {
 
@@ -50,17 +57,56 @@ object Dedup {
     * jaccard ≥ minJaccard.
     */
   def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
-      minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
-    val sh = docShingles(docs, id, text, k)
+      minJaccard: Double, maxBucket: Int = 200): DataFrame = {
+    // `sh` feeds sizes, cold AND (via pruned) both self-join sides: persist
+    // once or the explode pipeline runs 4×. The default cap is 200: a
+    // shingle shared by >200 docs is boilerplate, carries no dedup signal,
+    // and alone contributes up to cap²/2 candidate pairs.
+    val sh = docShingles(docs, id, text, k).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val cold = sh.groupBy(col("shingle")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") >= 2)
     val pruned = sh.join(cold.select("shingle"), Seq("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = pruned.as("l").join(pruned.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "size_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** Scalable near-dup Jaccard — the 100-TB path: candidate pairs come from
+    * MinHash-LSH banding (structurally sub-quadratic; recall bounded by the
+    * LSH S-curve instead of a hot-bucket cap), and exact DISTINCT-shingle
+    * Jaccard is computed ONLY on candidates. Same output schema as
+    * [[jaccardPairs]] (whose shared-shingle candidate generation is
+    * exact-recall below the cap but quadratic in bucket size).
+    */
+  def jaccardPairsViaLsh(docs: DataFrame, id: String, text: String, k: Int,
+      numHashes: Int, rowsPerBand: Int, minJaccard: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    require(minJaccard > 0, "zero-intersection candidates are dropped")
+    val sh = docShingles(docs, id, text, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val hashed = sh.select(col("doc_id"),
+      posexplode(array((0 until numHashes).map(j =>
+        Portable.md5LongSeeded(j, col("shingle"))): _*)).as(Seq("h", "v")))
+    val sigs = hashed.groupBy(col("doc_id"), col("h")).agg(min(col("v")).as("minhash"))
+    val cands = lshCandidates(sigs, rowsPerBand, maxBucket)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // |A ∩ B| per candidate pair: fan the (small) candidate set out to the
+    // left doc's shingles, then an equi-join on (right doc, shingle)
+    val inter = cands
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "size_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "size_b"), Seq("id_b"))
       .withColumn("jaccard",
@@ -92,11 +138,14 @@ object Dedup {
     */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int,
       maxBucket: Int = 10000): DataFrame = {
+    // one small row per (doc, band); feeds cold + both self-join sides, so
+    // persist — otherwise the whole minhash pipeline upstream re-runs ≥3×
     val banded = signatures
       .withColumn("band", (col("h") / rowsPerBand).cast("int"))
       .groupBy(col("doc_id"), col("band"))
       .agg(md5(concat_ws(",", sort_array(collect_list(
         concat_ws(":", col("h"), col("minhash")))))).as("bkey"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cold = banded.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") >= 2)
@@ -142,6 +191,7 @@ object Dedup {
       posexplode(array((0 until 4).map(p =>
         shiftright(col("simhash"), p * 8).bitwiseAND(lit(0xffL))): _*))
         .as(Seq("p", "pv")))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds cold + both join sides
     val cold = pieces.groupBy(col("p"), col("pv"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") >= 2)

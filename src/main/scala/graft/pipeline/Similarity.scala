@@ -59,12 +59,14 @@ object Similarity {
     emb.select(col(id).cast("long").as("vec_id"),
       signLshBucket(col(vec), dim, nBits).as("bucket"))
 
-  /** Approximate cosine top-k: score only vectors in the query's LSH
-    * bucket (plus all buckets at Hamming distance 1 — cheap multiprobe
-    * that recovers most sign-flip misses).
+  /** All vectors in the query's multiprobe set — the query's LSH bucket
+    * plus every bucket at Hamming distance 1 (cheap multiprobe that
+    * recovers most sign-flip misses) — with their exact cosine vs the
+    * query. No ordering/limit: the shared candidate stage of
+    * [[lshCosineTopK]] and the oracle-checked contract query.
     */
-  def lshCosineTopK(emb: DataFrame, id: String, vec: String, dim: Int,
-      nBits: Int, query: Seq[Float], k: Int): DataFrame = {
+  def lshProbeCandidates(emb: DataFrame, id: String, vec: String, dim: Int,
+      nBits: Int, query: Seq[Float]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val qdf = Seq(Tuple1(query)).toDF("qv")
@@ -76,9 +78,14 @@ object Similarity {
         signLshBucket(col(vec), dim, nBits).as("bucket"))
       .filter(col("bucket").isin(probes: _*))
       .select(col("vec_id"), cosine(col("v"), q).as("cos"))
+  }
+
+  /** Approximate cosine top-k: score only vectors in the multiprobe set. */
+  def lshCosineTopK(emb: DataFrame, id: String, vec: String, dim: Int,
+      nBits: Int, query: Seq[Float], k: Int): DataFrame =
+    lshProbeCandidates(emb, id, vec, dim, nBits, query)
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
-  }
 
   /** Embedding-cosine near-duplicate pairs: candidates share an LSH bucket
     * (self-join on bucket, capped), exact cosine filter ≥ minCos.
@@ -87,6 +94,7 @@ object Similarity {
       nBits: Int, minCos: Double, maxBucket: Int = 10000): DataFrame = {
     val b = emb.select(col(id).cast("long").as("vec_id"), col(vec).as("v"),
       signLshBucket(col(vec), dim, nBits).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cold = b.groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") >= 2)
     val pruned = b.join(cold.select("bucket"), Seq("bucket"))

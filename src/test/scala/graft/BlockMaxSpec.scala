@@ -76,6 +76,20 @@ class BlockMaxSpec extends TestBase {
     idx.unpersist(); blocks.unpersist()
   }
 
+  test("negative field boost falls back to the exhaustive path (UB unsound)") {
+    val src = SourceCodeGen.generate(spark, 500)
+    val idx = IndexBuilder.build(src, "doc_id", Seq("content", "path")).cached()
+    val blocks = PostingBlocks.fromPostings(idx.postings, 2, blockSize = 128).cache()
+    val boosts = Seq(1.0, -0.5) // reference fields_boost accepts negatives
+    val exact = QueryEngine.query(idx, "import ident2", BM25(), boosts, limit = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wand = BlockMaxTopK.query(idx, blocks, "import ident2", BM25(),
+      boosts, k = 10, blockSize = 128)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wand == exact && exact.nonEmpty)
+    idx.unpersist(); blocks.unpersist()
+  }
+
   test("blocks round-trip through the persisted catalog") {
     val root = java.nio.file.Files.createTempDirectory("graft_blocks_").toString
     val src = SourceCodeGen.generate(spark, 300)

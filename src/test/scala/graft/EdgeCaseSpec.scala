@@ -64,6 +64,37 @@ class EdgeCaseSpec extends TestBase {
     assert(out == Set(2L, 7L)) // 5,9 are normalized dups of 2
   }
 
+  test("merge rule canonicalization: Σ_qterms max_expansions (documented divergence)") {
+    // Multi-term prefix query where the expansion sets overlap in matched
+    // docs — the case where the reference's insertion-order-dependent fold
+    // (max against the running cross-term total, query.rs:150-164) can
+    // diverge from our canonical order-independent form. Pin OUR semantics:
+    //   score(doc) = Σ over query terms of (max over that term's expansions).
+    // Corpus: doc0 = "spar spark", doc1 = "spark".
+    // Query "spar s": qt0="spar" expands to {spar, spark}, qt1="s" to the
+    // same set. For doc0 (fl=2): both "spar"(tf=1) and "spark"(tf=1) match
+    // under BOTH query terms.
+    val idx = buildTitleIndex(Seq("spar spark", "spark"))
+    val n = 2.0; val avg = 1.5
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def tfn(tf: Double, fl: Double) =
+      (1.2 + 1.0) * tf / (1.2 * ((1 - 0.75) + 0.75 * fl / avg) + tf)
+    def eboost(le: Int, lq: Int) =
+      if (le == lq) 1.0 else math.log(1.0 + 1.0 / (1.0 + le - lq))
+    // per-expansion term scores for doc0 (fl=2), df(spar)=1, df(spark)=2:
+    val sparUnderSpar  = tfn(1, 2) * idf(1) * eboost(4, 4)
+    val sparkUnderSpar = tfn(1, 2) * idf(2) * eboost(5, 4)
+    val sparUnderS     = tfn(1, 2) * idf(1) * eboost(4, 1)
+    val sparkUnderS    = tfn(1, 2) * idf(2) * eboost(5, 1)
+    val doc0 = math.max(sparUnderSpar, sparkUnderSpar) +
+      math.max(sparUnderS, sparkUnderS)
+    // doc1 (fl=1): only "spark" matches, under both query terms
+    val doc1 = tfn(1, 1) * idf(2) * eboost(5, 4) + tfn(1, 1) * idf(2) * eboost(5, 1)
+    val got = runQuery(idx, "spar s", BM25()).toMap
+    assert(math.abs(got(0L) - doc0) < 1e-12, s"doc0: ${got(0L)} vs $doc0")
+    assert(math.abs(got(1L) - doc1) < 1e-12, s"doc1: ${got(1L)} vs $doc1")
+  }
+
   test("maxCollectedExpansions fallback path gives identical results") {
     val idx = buildTitleIndex(Seq("aa ab ac", "ad ae af"))
     val collected = graft.query.QueryEngine.query(idx, "a", BM25())

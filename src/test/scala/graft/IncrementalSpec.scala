@@ -57,6 +57,34 @@ class IncrementalSpec extends TestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("append crash between STAGE and PUBLISH is detected and resumed") {
+    val root = Files.createTempDirectory("graft_incr3_").toString
+    IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 8)
+
+    // "crash" after phase 1: staged outputs + append.staged marker exist,
+    // the published index is untouched
+    IndexCatalog.stageAppend(batch(batchB), "id", root)
+    val before = IndexCatalog.read(spark, root)
+    assert(before.docstats.count() == 2,
+      "published index must be untouched by a staged-only append")
+
+    // recovery completes the publish idempotently
+    IndexCatalog.resumeAppend(spark, root)
+    val idx = IndexCatalog.read(spark, root)
+    val full = IndexBuilder.build(batch(batchA ++ batchB), "id",
+      Seq("title", "description"))
+    assert(idx.docstats.count() == 4)
+    assert(idx.termdict.select("term", "df").exceptAll(full.termdict).count() == 0)
+    val a = QueryEngine.query(idx, "abc", BM25()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = QueryEngine.query(full, "abc", BM25()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+    // a second resume is a no-op (idempotent commit)
+    IndexCatalog.resumeAppend(spark, root)
+    assert(IndexCatalog.read(spark, root).docstats.count() == 4)
+  }
+
   test("streaming ingestion: micro-batches land as queryable deltas") {
     val root = Files.createTempDirectory("graft_stream_").toString
     val ckpt = Files.createTempDirectory("graft_ckpt_").toString

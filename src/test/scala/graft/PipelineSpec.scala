@@ -38,6 +38,19 @@ class PipelineSpec extends TestBase {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("LSH-routed jaccard agrees with exact jaccard on recovered pairs") {
+    val viaLsh = Dedup.jaccardPairsViaLsh(docsWithDups, "doc_id", "text",
+      3, 8, 2, 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    val exact = Dedup.jaccardPairs(docsWithDups, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    // every LSH-recovered pair carries the EXACT jaccard value
+    viaLsh.foreach { case (k, v) => assert(exact.get(k).contains(v), s"$k") }
+    // identical docs are always recovered (identical signatures)
+    assert(viaLsh.contains((0L, 1L)) && viaLsh((0L, 1L)) == 1.0)
+    assert(!viaLsh.contains((4L, 5L)))
+  }
+
   test("minhash+LSH candidates recover exact and near duplicates") {
     val sigs = Dedup.minhashSignatures(docsWithDups, "doc_id", "text", 3, 8)
     // identical docs ⇒ identical signatures

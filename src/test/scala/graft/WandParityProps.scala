@@ -1,0 +1,52 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.index.{IndexBuilder, PostingBlocks}
+import graft.query.{BlockMaxTopK, QueryEngine}
+import graft.score.BM25
+
+/** Property fuzz for the single most semantics-dense custom algorithm:
+  * block-max WAND must return EXACTLY the exhaustive top-k — same docs,
+  * same scores, same order — on random corpora, random (partially
+  * non-matching, prefix-heavy) queries, and random k. blockSize=8 forces
+  * many blocks per term; probeBlocks=2 keeps the θ seed partial so the
+  * pruning phase actually prunes.
+  */
+object WandParityProps extends Properties("WandParity") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L)) // deterministic CI run
+
+  private lazy val spark = TestSpark.spark
+
+  // prefix-nested vocabulary so queries genuinely expand
+  private val vocab = Vector("a", "ab", "abc", "abd", "b", "ba", "bab",
+    "bc", "c", "ca", "cab", "d", "da", "e")
+  private val docGen: Gen[String] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+  private val corpusGen: Gen[List[String]] =
+    Gen.choose(4, 30).flatMap(n => Gen.listOfN(n, docGen))
+  private val queryGen: Gen[String] =
+    Gen.choose(1, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab ++ Seq("x", "abcz"))))
+      .map(_.mkString(" "))
+
+  property("blockMax top-k == exhaustive top-k") =
+    forAll(corpusGen, queryGen, Gen.choose(1, 8)) { (docs, q, k) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "title")
+      val idx = IndexBuilder.build(df, "id", Seq("title"))
+      val blocks = PostingBlocks.fromPostings(idx.postings, 1, blockSize = 8)
+      val exact = QueryEngine.query(idx, q, BM25(), limit = k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val wand = BlockMaxTopK.query(idx, blocks, q, BM25(), k = k,
+        blockSize = 8, probeBlocks = 2).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      wand == exact
+    }
+}
