@@ -111,6 +111,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
+    // the contract queries above leave cached index/dedup tables behind;
+    // drop them so the build metric measures the build, not GC pressure
+    // from another workload's cache
+    spark.catalog.clearCache()
+
     // headline: build throughput + query latency on the synthetic corpus
     val (fps, buildSecs, files) = runBuild(spark, nFiles)
     val p50 = runQueries(spark, nFiles)

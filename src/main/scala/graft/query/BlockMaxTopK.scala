@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
 import graft.index.{InvertedIndex, PostingBlocks}
-import graft.score.BM25
+import graft.score.ScoreModel
 
 /** Block-max WAND-style top-k over compressed posting blocks
   * (north_star: "posting-list intersection with block-max WAND top-k
@@ -14,17 +14,23 @@ import graft.score.BM25
   * Blocks share GLOBAL doc-id ranges across terms, so a sound per-range
   * score upper bound exists without decoding anything:
   *
-  *   UB(range) = Σ_queryTerm max_expansion idf·eboost·Σ_x boost_x·tfn⁺(maxTf_x)
+  *   UB(range) = Σ_queryTerm max_expansion modelBound(block metadata)
   *
-  * where `tfn⁺(t) = (k1+1)·t / (k1·(1−b) + t)` bounds the BM25 tf-norm for
-  * ANY field length / average (denominator lower bound at fl=0) — the
-  * metadata-only mirror of the scoring merge rule (max within a query
-  * term's expansions, sum across query terms).
+  * where `modelBound` is the scorer's [[ScoreModel.blockUpperBound]] (BM25:
+  * tfn⁺(maxTf)·idf·eboost; zero-to-one: entscore/qlen; a model with no
+  * sound metadata bound falls back to exhaustive) — the metadata-only
+  * mirror of the merge rule (max within a query term's expansions, sum
+  * across query terms, which also dominates zero-to-one's max-over-fields).
   *
   * Three-phase, all distributed, one tiny driver action for the threshold:
   *  1. θ-probe: exact-score the `probeBlocks` ranges with the highest UB;
   *     the k-th best score found is a valid pruning threshold θ (those k
   *     docs are real, so nothing scoring < θ can reach the top k).
+  *     Soundness for ANY model (including non-additive ones) rests on
+  *     global ranges: a doc lives in exactly one range, and the probe
+  *     takes ALL expanded terms' blocks for its ranges, so every probed
+  *     doc is scored over its COMPLETE posting set — probe scores are
+  *     true scores, never partial ones.
   *  2. prune: keep ranges with UB ≥ θ — at 10^12 docs this is the
   *     difference between decoding every posting of a hot term and
   *     decoding the few ranges that can still matter.
@@ -43,7 +49,7 @@ object BlockMaxTopK {
     * @param probeBlocks  number of highest-UB ranges exact-scored to seed θ
     */
   def query(idx: InvertedIndex, blocks: Dataset[PostingBlocks.Block],
-      queryString: String, model: BM25, boosts: Seq[Double] = Nil, k: Int = 10,
+      queryString: String, model: ScoreModel, boosts: Seq[Double] = Nil, k: Int = 10,
       blockSize: Long = PostingBlocks.DefaultBlockSize, probeBlocks: Int = 8,
       maxCollectedExpansions: Int = 4096,
       tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
@@ -82,22 +88,23 @@ object BlockMaxTopK {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toDF("qti", "qterm", "exp_term", "df")
     val stats = idx.fieldStats()
-    // idf/eboost via the SAME column expressions as the scorer (bit-equal)
+    // per-model precalc + block bound via the SAME column expressions as
+    // the scorer (bit-equal); a model without a sound metadata bound
+    // answers None → exhaustive path (scorer-generic, like the reference
+    // query loop)
     val expWithCols = model.expansionColumns(expDf, stats)
+    val ubCol = model.blockUpperBound(stats, fb, raw.length, idx.numFields) match {
+      case Some(c) => c
+      case None =>
+        return QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
+    }
     val eterms = collected.map(_.getString(2)).distinct.toSeq
 
     // ---- block metadata → per-range upper bounds ----
-    val k1 = model.k1; val b = model.b
-    val tfnUb = (x: Int) => {
-      val tf = element_at(col("max_tf"), x + 1).cast("double")
-      (lit(k1 + 1.0) * tf) / (lit(k1) * lit(1.0 - b) + tf) * lit(fb(x))
-    }
-    val perFieldUb = (0 until idx.numFields).map(tfnUb).reduce(_ + _)
     val meta = blocks.toDF().filter(col("term").isin(eterms: _*))
       .select(col("term"), col("block_id"), col("max_tf"))
       .join(broadcast(expWithCols), col("term") === col("exp_term"))
-      .select(col("block_id"), col("qti"),
-        (perFieldUb * col("idf") * col("eboost")).as("ub"))
+      .select(col("block_id"), col("qti"), ubCol.as("ub"))
     val rangeUb = meta
       .groupBy(col("block_id"), col("qti")).agg(max(col("ub")).as("mub"))
       .groupBy(col("block_id")).agg(sum(col("mub")).as("ub"))

@@ -53,6 +53,20 @@ final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends ScoreModel {
     exp.withColumn("idf", idf).withColumn("eboost", eboost)
   }
 
+  /** Per-expansion block bound: `tfn⁺(t) = (k1+1)·t/(k1·(1−b)+t)` dominates
+    * the tf-norm for ANY field length/average (denominator lower bound at
+    * fl=0), so Σ_x boost_x·tfn⁺(maxTf_x) · idf · eboost ≥ any doc's term
+    * score in the block. Requires non-negative boosts (the caller guards).
+    */
+  override def blockUpperBound(stats: FieldStats, boosts: Seq[Double],
+      qlenRaw: Int, numFields: Int): Option[Column] = {
+    val perField = (0 until numFields).map { x =>
+      val tf = element_at(col("max_tf"), x + 1).cast("double")
+      (lit(k1 + 1.0) * tf) / (lit(k1) * lit(1.0 - b) + tf) * lit(boosts(x))
+    }
+    Some(perField.reduce(_ + _) * col("idf") * col("eboost"))
+  }
+
   override def score(joined: DataFrame, stats: FieldStats, boosts: Seq[Double],
       qlenRaw: Int, numFields: Int): DataFrame = {
     val perField: Seq[Column] = (0 until numFields).map { x =>

@@ -1,6 +1,6 @@
 package graft.score
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.index.FieldStats
 
@@ -37,4 +37,18 @@ trait ScoreModel {
     */
   def score(joined: DataFrame, stats: FieldStats, boosts: Seq[Double],
       qlenRaw: Int, numFields: Int): DataFrame
+
+  /** Block-max pruning hook ([[graft.query.BlockMaxTopK]]): an upper bound
+    * on the PER-EXPANSION term score of any document in a posting block,
+    * as a column over (block metadata `max_tf: array<int>` ⋈ this model's
+    * [[expansionColumns]] output). The engine takes max over a query
+    * term's expansions and sums across query terms — mirroring the merge
+    * rule — so the per-expansion bound only has to dominate a single
+    * expansion's contribution. Return None when no sound metadata-only
+    * bound exists; the query falls back to the exhaustive path (the
+    * reference query loop is scorer-generic,
+    * /root/reference/src/query.rs:21-26, and so is this).
+    */
+  def blockUpperBound(stats: FieldStats, boosts: Seq[Double], qlenRaw: Int,
+      numFields: Int): Option[Column] = None
 }

@@ -50,6 +50,19 @@ final case class ZeroToOne() extends ScoreModel {
     exp.withColumn("entscore", lit(1.0) - abs(le - lt) / le)
   }
 
+  /** Per-expansion block bound for the greedy finalize: one consumed entry
+    * contributes `min(s/tf,1)·tf / max(fl,qlen) = min(s,tf)/max(fl,qlen)`
+    * with `fl ≥ tf`, so it is ≤ `min(s,tf)/max(tf,qlen) ≤ s/max(s,qlen)
+    * ≤ s/qlen` (s = entscore ≤ 1, qlen ≥ 1), and a query term consumes at
+    * most one entry per field; the doc score is a MAX over fields. Hence
+    * `entscore/qlen` bounds any single expansion's contribution — no block
+    * metadata needed at all. Enables WAND pruning for zero-to-one (the
+    * reference query loop is scorer-generic).
+    */
+  override def blockUpperBound(stats: FieldStats, boosts: Seq[Double],
+      qlenRaw: Int, numFields: Int): Option[org.apache.spark.sql.Column] =
+    Some(col("entscore") / lit(math.max(qlenRaw, 1).toDouble))
+
   override def score(joined: DataFrame, stats: FieldStats, boosts: Seq[Double],
       qlenRaw: Int, numFields: Int): DataFrame = {
     val spark = joined.sparkSession

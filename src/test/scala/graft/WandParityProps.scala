@@ -5,7 +5,7 @@ import org.scalacheck.Prop.forAll
 
 import graft.index.{IndexBuilder, PostingBlocks}
 import graft.query.{BlockMaxTopK, QueryEngine}
-import graft.score.BM25
+import graft.score.{BM25, ScoreModel, ZeroToOne}
 
 /** Property fuzz for the single most semantics-dense custom algorithm:
   * block-max WAND must return EXACTLY the exhaustive top-k — same docs,
@@ -35,18 +35,28 @@ object WandParityProps extends Properties("WandParity") {
       .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab ++ Seq("x", "abcz"))))
       .map(_.mkString(" "))
 
-  property("blockMax top-k == exhaustive top-k") =
+  private def parity(docs: List[String], q: String, k: Int,
+      model: ScoreModel): Boolean = {
+    import spark.implicits._
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "title")
+    val idx = IndexBuilder.build(df, "id", Seq("title"))
+    val blocks = PostingBlocks.fromPostings(idx.postings, 1, blockSize = 8)
+    val exact = QueryEngine.query(idx, q, model, limit = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wand = BlockMaxTopK.query(idx, blocks, q, model, k = k,
+      blockSize = 8, probeBlocks = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    wand == exact
+  }
+
+  property("blockMax top-k == exhaustive top-k (BM25)") =
     forAll(corpusGen, queryGen, Gen.choose(1, 8)) { (docs, q, k) =>
-      import spark.implicits._
-      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-        .toDF("id", "title")
-      val idx = IndexBuilder.build(df, "id", Seq("title"))
-      val blocks = PostingBlocks.fromPostings(idx.postings, 1, blockSize = 8)
-      val exact = QueryEngine.query(idx, q, BM25(), limit = k).collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val wand = BlockMaxTopK.query(idx, blocks, q, BM25(), k = k,
-        blockSize = 8, probeBlocks = 2).collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      wand == exact
+      parity(docs, q, k, BM25())
+    }
+
+  property("blockMax top-k == exhaustive top-k (zero-to-one)") =
+    forAll(corpusGen, queryGen, Gen.choose(1, 8)) { (docs, q, k) =>
+      parity(docs, q, k, ZeroToOne())
     }
 }
