@@ -27,6 +27,16 @@ object IndexCache {
     * θ scoring, final scan) — without this the full postings→blocks shuffle
     * re-runs per action, per query.
     */
+  /** Two-field index over (text, source) — multi-field scoring under the
+    * driver's oracle gate (the reference is 2-field in most of its tests).
+    */
+  private val multiCache = TrieMap.empty[String, InvertedIndex]
+  def documentsMulti(spark: SparkSession, dir: String): InvertedIndex =
+    multiCache.getOrElseUpdate(dir,
+      IndexBuilder.build(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id",
+        Seq("text", "source")).cached())
+
   /** Same corpus indexed with the CODE tokenizer (tokenizer SPI —
     * reference passes the tokenizer per call, /root/reference/src/lib.rs:13-14).
     */
@@ -124,10 +134,15 @@ object SparkEntry {
       |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tk WHERE len(t) >= 3),
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx)""".stripMargin
 
+  // Carter–Wegman minhash family: ONE md5 per shingle, member j derived as
+  // h1 + j·h2 from the digest's two 56-bit halves (Portable.md5Halves)
   private val SigCte =
     s"""$ShinglesCte,
-       |hv AS (SELECT doc_id, j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT) AS v
-       |       FROM sh, generate_series(0, 7) hj(j)),
+       |hx AS (SELECT doc_id, md5(shingle) AS hex FROM sh),
+       |hv AS (SELECT doc_id, j,
+       |         CAST(('0x' || substr(hex, 1, 14)) AS BIGINT)
+       |         + j * CAST(('0x' || substr(hex, 15, 14)) AS BIGINT) AS v
+       |       FROM hx, generate_series(0, 7) hj(j)),
        |sig AS (SELECT doc_id, j AS h, min(v) AS minhash FROM hv GROUP BY doc_id, j)""".stripMargin
 
   // ---------- queries ----------
@@ -344,6 +359,16 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), sha2(col("text"), 256).as("sha"))
         .orderBy("doc_id")),
 
+    // multi-field BM25 with per-field boosts: two indexed fields
+    // (text boost 1.0, source boost 2.0), per-field length normalization
+    // against per-field averages, and prefix expansion hitting the SECOND
+    // field ("src1" → src1, src10..src19)
+    "q30_bm25_multifield" -> ((s, dir) =>
+      QueryEngine.query(IndexCache.documentsMulti(s, dir), "merge src1",
+        BM25(), boosts = Seq(1.0, 2.0))
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy("doc_id")),
+
     // tokenizer SPI end-to-end: index built with the CODE tokenizer
     // (identifiers / numbers / single punctuation marks), query tokenized
     // with the matching driver-side tokenizer — "merge dat ." carries a
@@ -405,6 +430,43 @@ object SparkEntry {
 
     "q28_bm25_codetok" -> bm25Sql(Seq("merge", "dat", "."), "",
       toksCte = CodeToksCte),
+
+    // two-field BM25 (text boost 1.0, source boost 2.0): per-field tf and
+    // length norm, occurrence df summed ACROSS fields, merge rule as in
+    // bm25Sql. k1=1.2, b=0.75 inlined: 2.2=k1+1, 0.25=1-b.
+    "q30_bm25_multifield" ->
+      """WITH docs AS (SELECT doc_id, text, source FROM documents),
+        |tk0 AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs),
+        |tk1 AS (SELECT doc_id, unnest(list_filter(string_split(source, ' '), x -> x <> '')) AS term FROM docs),
+        |dl AS (SELECT d.doc_id, coalesce(a.c, 0) AS fl0, coalesce(b.c, 0) AS fl1
+        |       FROM docs d
+        |       LEFT JOIN (SELECT doc_id, count(*) AS c FROM tk0 GROUP BY doc_id) a ON d.doc_id = a.doc_id
+        |       LEFT JOIN (SELECT doc_id, count(*) AS c FROM tk1 GROUP BY doc_id) b ON d.doc_id = b.doc_id),
+        |st AS (SELECT count(*) AS n, sum(fl0) AS s0, sum(fl1) AS s1 FROM dl),
+        |p0 AS (SELECT term, doc_id, count(*) AS tf FROM tk0 GROUP BY term, doc_id),
+        |p1 AS (SELECT term, doc_id, count(*) AS tf FROM tk1 GROUP BY term, doc_id),
+        |post AS (SELECT coalesce(p0.term, p1.term) AS term,
+        |                coalesce(p0.doc_id, p1.doc_id) AS doc_id,
+        |                coalesce(p0.tf, 0) AS tf0, coalesce(p1.tf, 0) AS tf1
+        |         FROM p0 FULL JOIN p1 ON p0.term = p1.term AND p0.doc_id = p1.doc_id),
+        |tdf AS (SELECT term, sum(tf0 + tf1) AS df FROM post GROUP BY term),
+        |qt AS (SELECT * FROM (VALUES (0, 'merge'), (1, 'src1')) AS t(qti, qterm)),
+        |exp AS (SELECT qt.qti, qt.qterm, tdf.term AS eterm, tdf.df
+        |        FROM qt JOIN tdf ON tdf.term LIKE qt.qterm || '%'),
+        |esc AS (SELECT e.qti, e.eterm,
+        |  ln(1 + ((st.n - least(st.n, e.df)) + 0.5) / (least(st.n, e.df) + 0.5)) AS idf,
+        |  CASE WHEN e.eterm = e.qterm THEN 1.0
+        |       ELSE ln(1 + 1.0 / (1.0 + strlen(e.eterm) - strlen(e.qterm))) END AS boost
+        |  FROM exp e, st),
+        |sc AS (SELECT p.doc_id, s.qti,
+        |  max((CASE WHEN p.tf0 > 0 THEN ((2.2 * p.tf0) / (1.2 * (0.25 + 0.75 * (d.fl0 / (st.s0 * 1.0 / st.n))) + p.tf0)) * 1.0 ELSE 0.0 END
+        |     + CASE WHEN p.tf1 > 0 THEN ((2.2 * p.tf1) / (1.2 * (0.25 + 0.75 * (d.fl1 / (st.s1 * 1.0 / st.n))) + p.tf1)) * 2.0 ELSE 0.0 END)
+        |      * s.idf * s.boost) AS mts
+        |  FROM post p JOIN esc s ON p.term = s.eterm
+        |  JOIN dl d ON d.doc_id = p.doc_id, st
+        |  GROUP BY p.doc_id, s.qti)
+        |SELECT doc_id, CAST(round(sum(mts) * 1000000.0) AS BIGINT) AS score_micro
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // WAND pruning is lossless, so the exhaustive BM25 top-k is the oracle;
     // tie-stable cut: order by (micro score desc, doc_id asc) on both sides

@@ -94,11 +94,7 @@ object Dedup {
       maxBucket: Int = 10000): DataFrame = {
     require(minJaccard > 0, "zero-intersection candidates are dropped")
     val sh = docShingles(docs, id, text, k).persist(StorageLevel.MEMORY_AND_DISK)
-    val hashed = sh.select(col("doc_id"),
-      posexplode(array((0 until numHashes).map(j =>
-        Portable.md5LongSeeded(j, col("shingle"))): _*)).as(Seq("h", "v")))
-    val sigs = hashed.groupBy(col("doc_id"), col("h")).agg(min(col("v")).as("minhash"))
-    val cands = lshCandidates(sigs, rowsPerBand, maxBucket)
+    val cands = lshCandidates(minhashFromShingles(sh, numHashes), rowsPerBand, maxBucket)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // |A ∩ B| per candidate pair: fan the (small) candidate set out to the
     // left doc's shingles, then an equi-join on (right doc, shingle)
@@ -124,11 +120,23 @@ object Dedup {
     * oracle computes identical values).
     */
   def minhashSignatures(docs: DataFrame, id: String, text: String, k: Int,
-      numHashes: Int): DataFrame = {
-    val sh = docShingles(docs, id, text, k)
-    val hashed = sh.select(col("doc_id"),
-      posexplode(array((0 until numHashes).map(j =>
-        Portable.md5LongSeeded(j, col("shingle"))): _*)).as(Seq("h", "v")))
+      numHashes: Int): DataFrame =
+    minhashFromShingles(docShingles(docs, id, text, k), numHashes)
+
+  /** Signature pipeline over an existing (doc_id, shingle) DataFrame: ONE
+    * md5 per shingle, the `numHashes` family members derived arithmetically
+    * (Carter–Wegman, [[Portable.md5Halves]]) — not one digest per
+    * (shingle, j). At 100 TB the digest dominates; this makes the
+    * signature stage numHashes× cheaper.
+    */
+  private[graft] def minhashFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+    val withHex = sh.withColumn("_hex", md5(col("shingle")))
+    val (h1, h2) = Portable.md5Halves(col("_hex"))
+    val hashed = withHex
+      .select(col("doc_id"), h1.as("_h1"), h2.as("_h2"))
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(j =>
+          Portable.md5FamilyMember(col("_h1"), col("_h2"), j)): _*)).as(Seq("h", "v")))
     hashed.groupBy(col("doc_id"), col("h")).agg(min(col("v")).as("minhash"))
   }
 

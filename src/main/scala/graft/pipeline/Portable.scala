@@ -24,6 +24,22 @@ object Portable {
   def md5LongSeeded(j: Int, s: Column): Column =
     md5Long(concat(lit(j.toString), lit(":"), s))
 
+  /** Two independent 56-bit halves of ONE md5 digest — the seeds of the
+    * Carter–Wegman minhash family `h_j = h1 + j·h2` ([[md5FamilyMember]]).
+    * One digest per value instead of one per (value, j): at corpus scale
+    * the digest IS the minhash cost, so a k-hash signature gets k× cheaper.
+    * 56-bit halves keep `h1 + j·h2` inside int64 for j ≤ 63.
+    * DuckDB mirror: `CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT)` and
+    * `substr(md5(s), 15, 14)`.
+    */
+  def md5Halves(hex: Column): (Column, Column) =
+    (conv(substring(hex, 1, 14), 16, 10).cast("long"),
+      conv(substring(hex, 15, 14), 16, 10).cast("long"))
+
+  /** Member j of the 2-universal family seeded by [[md5Halves]]. */
+  def md5FamilyMember(h1: Column, h2: Column, j: Int): Column =
+    h1 + lit(j.toLong) * h2
+
   /** Whitespace tokens (engine tokenizer semantics: single-space split,
     * empties dropped).
     */
