@@ -254,6 +254,17 @@ object SparkEntry {
           col("size_a"), col("size_b"), micro(col("jaccard")).as("jaccard_micro"))
         .orderBy("id_a", "id_b")),
 
+    // pipeline: embedding-cosine near-dup pairs — candidates share a
+    // sign-LSH bucket (self-join on the bucket key, capped), exact cosine
+    // on candidates. The threshold cut is applied on MICRO-UNIT scores on
+    // both sides so sub-1e-6 f64 noise cannot flip boundary pairs.
+    "q31_cos_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDups(emb(s, dir), "vec_id", "embedding", 64, 8,
+        minCos = -1.0) // all bucket pairs; threshold applied in micro units
+        .select(col("id_a"), col("id_b"), micro(col("cos")).as("cos_micro"))
+        .filter(col("cos_micro") >= 200000L)
+        .orderBy("id_a", "id_b")),
+
     // pipeline: brute-force cosine similarity vs the vec_id=0 embedding
     "q15_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -570,6 +581,28 @@ object SparkEntry {
          |FROM ix i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
          |WHERE (i.inter * 1.0 / (sa.sz + sb.sz - i.inter)) >= 0.02
          |ORDER BY i.id_a, i.id_b""".stripMargin,
+
+    // same bucket math as q16, all same-bucket pairs, exact cosine,
+    // micro-unit threshold (cos ≥ 0.2 ⇔ cos_micro ≥ 200000)
+    "q31_cos_neardup" ->
+      """WITH hp AS (SELECT gb.b AS b, gi.i AS i,
+        |    CASE WHEN (CAST(('0x' || substr(md5('hp:' || CAST(gb.b AS VARCHAR) || ':' || CAST(gi.i AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 7) gb(b), generate_series(0, 63) gi(i)),
+        |proj AS (SELECT e.vec_id, hp.b, sum(CAST(e.embedding[hp.i + 1] AS DOUBLE) * hp.s) AS p
+        |         FROM embeddings e, hp GROUP BY e.vec_id, hp.b),
+        |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |parts AS (SELECT p.id_a, p.id_b,
+        |    sum(CAST(ea.embedding[g.i] AS DOUBLE) * CAST(eb.embedding[g.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(ea.embedding[g.i] AS DOUBLE) * CAST(ea.embedding[g.i] AS DOUBLE)) AS na,
+        |    sum(CAST(eb.embedding[g.i] AS DOUBLE) * CAST(eb.embedding[g.i] AS DOUBLE)) AS nb
+        |  FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
+        |  JOIN embeddings eb ON eb.vec_id = p.id_b, generate_series(1, 64) g(i)
+        |  GROUP BY p.id_a, p.id_b)
+        |SELECT * FROM (
+        |  SELECT id_a, id_b, CAST(round((dot / (sqrt(na) * sqrt(nb))) * 1000000.0) AS BIGINT) AS cos_micro
+        |  FROM parts)
+        |WHERE cos_micro >= 200000 ORDER BY id_a, id_b""".stripMargin,
 
     "q15_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -192,6 +192,10 @@ object IndexCatalog {
   def readBlocks(spark: SparkSession, root: String): (org.apache.spark.sql.Dataset[PostingBlocks.Block], Long) = {
     import spark.implicits._
     val m = readManifest(spark, root)
+    // the stage key is cleared by vacuum/append when blocks go stale; a
+    // dir without the key must not be served
+    require(m.contains("stage.blocks.rows"),
+      s"no current block stage at $root — run buildBlocks after build/vacuum/append")
     val bs = m.getOrElse("config.blockSize", PostingBlocks.DefaultBlockSize.toString).toLong
     (spark.read.parquet(s"$root/blocks").drop("bucket").as[PostingBlocks.Block], bs)
   }
@@ -364,6 +368,10 @@ object IndexCatalog {
     var m = readManifest(spark, root)
     m = m -- m.keys.filter(k => k.startsWith("stage.") || k.startsWith("lineage."))
     writeManifest(spark, root, m)
+    // the block table (if built) still holds purged postings: drop it NOW —
+    // its manifest stage key was just cleared, and leaving the dir behind
+    // would let readBlocks serve stale data until the next buildBlocks
+    f.delete(new Path(s"$root/blocks"), true)
     m = stage(spark, root, "docstats", m)(idx.liveDocstats)
     m = stage(spark, root, "postings", m, partitionBy = Seq("bucket")) {
       val nb = m("config.nBuckets").toInt

@@ -2,6 +2,7 @@ package graft
 
 import java.io.ByteArrayOutputStream
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.index.{IndexBuilder, IndexCatalog, PostingBlocks}
@@ -88,6 +89,24 @@ class BlockMaxSpec extends TestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(wand == exact && exact.nonEmpty)
     idx.unpersist(); blocks.unpersist()
+  }
+
+  test("vacuum invalidates the block stage; rebuild serves fresh blocks") {
+    val root = java.nio.file.Files.createTempDirectory("graft_blocks_vac_").toString
+    val src = SourceCodeGen.generate(spark, 200)
+    IndexCatalog.build(src, "doc_id", Seq("content", "path"), root, nBuckets = 4)
+    IndexCatalog.buildBlocks(spark, root, blockSize = 64)
+    IndexCatalog.removeDocuments(spark, root, Seq(0L, 1L, 2L))
+    IndexCatalog.vacuum(spark, root)
+    // stale blocks must not be readable after vacuum…
+    intercept[IllegalArgumentException] { IndexCatalog.readBlocks(spark, root) }
+    // …and a rebuild serves blocks consistent with the vacuumed postings
+    IndexCatalog.buildBlocks(spark, root, blockSize = 64)
+    val idx = IndexCatalog.read(spark, root)
+    val (blocks, bs) = IndexCatalog.readBlocks(spark, root)
+    val back = PostingBlocks.toPostings(blocks.toDF(), 2, bs)
+    assert(back.filter(col("doc_id").isin(0L, 1L, 2L)).count() == 0)
+    assert(back.count() == idx.postings.count())
   }
 
   test("blocks round-trip through the persisted catalog") {
