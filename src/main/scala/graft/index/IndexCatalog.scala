@@ -272,7 +272,17 @@ object IndexCatalog {
       .union(spark.read.parquet(s"$stageDir/docstats"))
       .agg(aggs.head, aggs.tail: _*)
       .write.parquet(s"$stageDir/fieldstats")
-    writeManifest(spark, root, readManifest(spark, root) + ("append.staged" -> g.toString))
+    // per-bucket lineage of the DELTA, recorded at stage time: appends must
+    // not rescan the whole posting store per publish (at streaming-ingest
+    // rates that is an O(corpus) metadata pass per micro-batch), so the
+    // global `lineage.postings` stays as-of the last build/vacuum and each
+    // append adds its own delta line.
+    val deltaPerBucket = spark.read.parquet(s"$stageDir/postings")
+      .groupBy("bucket").count().orderBy("bucket").collect()
+      .map(r => s"${r.getInt(0)}=${r.getLong(1)}").mkString(";")
+    writeManifest(spark, root, readManifest(spark, root) +
+      ("append.staged" -> g.toString) +
+      (s"lineage.append.$g" -> deltaPerBucket))
     g
   }
 
@@ -332,19 +342,16 @@ object IndexCatalog {
     swap("termdict")
     swap("fieldstats")
 
-    // commit: bump the generation, clear the pending marker, refresh
-    // lineage; drop any block stage (stale for the appended doc ranges)
+    // commit: bump the generation and clear the pending marker (the delta's
+    // per-bucket lineage was recorded at stage time — no O(corpus) rescan
+    // here); drop any block stage (stale for the appended doc ranges)
     var m = readManifest(spark, root)
     if (m.contains("stage.blocks.rows")) {
       f.delete(new Path(s"$root/blocks"), true)
       m = m - "stage.blocks.rows" - "stage.blocks.secs"
     }
-    val perBucket = spark.read.parquet(s"$root/postings")
-      .groupBy("bucket").count().orderBy("bucket").collect()
-      .map(r => s"${r.getInt(0)}=${r.getLong(1)}").mkString(";")
     writeManifest(spark, root,
-      m - "append.staged" +
-        ("append.gen" -> g.toString) + ("lineage.postings" -> perBucket))
+      m - "append.staged" + ("append.gen" -> g.toString))
     f.delete(new Path(stageDir), true)
     ()
   }
@@ -389,6 +396,13 @@ object IndexCatalog {
       spark.read.parquet(s"$root/docstats").agg(aggs.head, aggs.tail: _*)
     }
     f.delete(new Path(s"$root/tombstones"), true)
-    writeManifest(spark, root, m + ("published" -> "true"))
+    // vacuum rewrote the whole posting store: refresh the global lineage
+    // (append deltas were folded in by the rewrite, so their lines go)
+    val perBucket = spark.read.parquet(s"$root/postings")
+      .groupBy("bucket").count().orderBy("bucket").collect()
+      .map(r => s"${r.getInt(0)}=${r.getLong(1)}").mkString(";")
+    writeManifest(spark, root,
+      (m -- m.keys.filter(_.startsWith("lineage.append."))) +
+        ("published" -> "true") + ("lineage.postings" -> perBucket))
   }
 }
