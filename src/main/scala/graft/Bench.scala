@@ -65,6 +65,32 @@ object Bench {
   val QuerySet: Seq[String] = Seq("ident7", "val return ident42",
     "Modu", "import", "fn match ident1")
 
+  /** Median per-query latency (seconds) of block-max-WAND BM25 top-10 over
+    * the PERSISTED compressed block table (built once, resumable stage).
+    */
+  def runWandQueries(spark: SparkSession, nFiles: Long, reps: Int = 3,
+      root: String = "/tmp/graft_bench_index"): Double = {
+    val idx = try IndexCatalog.read(spark, root) catch {
+      case _: Throwable => runBuild(spark, nFiles, root); IndexCatalog.read(spark, root)
+    }
+    IndexCatalog.buildBlocks(spark, root)
+    val (blocksRaw, bs) = IndexCatalog.readBlocks(spark, root)
+    val blocks = blocksRaw.cache()
+    blocks.count()
+    idx.termdict.cache().count()
+    QuerySet.foreach(q => graft.query.BlockMaxTopK
+      .query(idx, blocks, q, BM25(), k = 10, blockSize = bs).collect())
+    val times = for (_ <- 1 to reps; q <- QuerySet) yield {
+      val t0 = System.nanoTime()
+      graft.query.BlockMaxTopK
+        .query(idx, blocks, q, BM25(), k = 10, blockSize = bs).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    blocks.unpersist(); idx.termdict.unpersist()
+    val sorted = times.sorted
+    sorted(sorted.size / 2)
+  }
+
   /** Median per-query latency (seconds) of BM25 top-10 over a cached
     * index built from nFiles synthetic docs.
     */
@@ -119,10 +145,11 @@ object Bench {
     // headline: build throughput + query latency on the synthetic corpus
     val (fps, buildSecs, files) = runBuild(spark, nFiles)
     val p50 = runQueries(spark, nFiles)
+    val wandP50 = runWandQueries(spark, nFiles)
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""build_files":$files,"build_secs":$buildSecs,"build_files_per_sec":$fps,""" +
-      s""""bm25_topk_p50_secs":$p50,"cpus":"$cpus"}""")
+      s""""bm25_topk_p50_secs":$p50,"wand_topk_p50_secs":$wandP50,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

@@ -7,14 +7,23 @@ import org.apache.spark.sql.functions._
   * baseline, sign-LSH bucketing as the approximate scale path, and
   * embedding-cosine near-duplicate pairs.
   *
-  * Vectors are `array<float>` columns; all math is done in double via
-  * `zip_with` + `aggregate` (codegen'd, index order — deterministic
-  * accumulation), no UDFs.
+  * Vectors are `array<float>` columns; all math is done in double in
+  * index order (deterministic accumulation), no UDFs. The dot product is
+  * a native fused Expression ([[graft.functions.DotProductFF]]) — one
+  * codegen'd loop over the Tungsten arrays instead of `zip_with` +
+  * `aggregate`'s per-row intermediate array; bit-identical results
+  * (same accumulation order, pinned by DotProductSpec).
   */
 object Similarity {
 
-  /** Σ a(i)·b(i) accumulated in double, in index order. */
+  /** Σ a(i)·b(i) accumulated in double, in index order (float arrays). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductFF.dotCol(a, b)
+
+  /** The composed-builtins formulation of [[dot]] (reference semantics for
+    * the parity test; also the fallback for non-float numeric arrays).
+    */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
