@@ -45,10 +45,18 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: bit b of the bucket = sign(v · h_b) where h_b is a
-    * deterministic ±1 hyperplane derived from md5(b, dim). nBits ≤ 16
-    * keeps buckets populated at moderate corpus sizes.
+    * deterministic ±1 hyperplane derived from md5("hp:b:i"). nBits ≤ 16
+    * keeps buckets populated at moderate corpus sizes. Fused native
+    * expression ([[graft.functions.SignLsh]]): all nBits projections in
+    * one loop, no per-row intermediate arrays — bit-identical buckets to
+    * [[signLshBucketComposed]] (pinned by SignLshSpec) and to the DuckDB
+    * oracles.
     */
-  def signLshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+  def signLshBucket(vec: Column, dim: Int, nBits: Int): Column =
+    graft.functions.SignLsh.bucketCol(vec, dim, nBits)
+
+  /** The composed-builtins formulation (parity reference for the test). */
+  def signLshBucketComposed(vec: Column, dim: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { b =>
       // hyperplane component h_b(i) ∈ {−1, +1}, derived portably
       val proj = aggregate(

@@ -38,6 +38,9 @@ object DotBench {
     val f = time("fused", Similarity.dot(col("v"), col("v")))
     val c = time("composed", Similarity.dotComposed(col("v"), col("v")))
     println(f"""{"probe":"dot","n":$n,"fused_secs":$f%.3f,"composed_secs":$c%.3f,"speedup":${c / f}%.2f}""")
+    val bf = time("lsh-fused", Similarity.signLshBucket(col("v"), 64, 8).cast("long"))
+    val bc = time("lsh-comp", Similarity.signLshBucketComposed(col("v"), 64, 8).cast("long"))
+    println(f"""{"probe":"signlsh","n":$n,"fused_secs":$bf%.3f,"composed_secs":$bc%.3f,"speedup":${bc / bf}%.2f}""")
     spark.stop()
   }
 }
