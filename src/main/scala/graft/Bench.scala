@@ -71,7 +71,10 @@ object Bench {
   def runWandQueries(spark: SparkSession, nFiles: Long, reps: Int = 3,
       root: String = "/tmp/graft_bench_index"): Double = {
     val idx = try IndexCatalog.read(spark, root) catch {
-      case _: Throwable => runBuild(spark, nFiles, root); IndexCatalog.read(spark, root)
+      // only the expected "nothing published here yet" shapes — a fatal
+      // error (OOM, corrupt store) must not silently trigger a rebuild
+      case _: IllegalArgumentException | _: org.apache.spark.sql.AnalysisException =>
+        runBuild(spark, nFiles, root); IndexCatalog.read(spark, root)
     }
     IndexCatalog.buildBlocks(spark, root)
     val (blocksRaw, bs) = IndexCatalog.readBlocks(spark, root)
@@ -99,7 +102,8 @@ object Bench {
     // queries run against the PERSISTED index (partition-pruned scans),
     // reusing the artifact runBuild left behind (rebuilt if absent)
     val idx = try IndexCatalog.read(spark, root) catch {
-      case _: Throwable => runBuild(spark, nFiles, root); IndexCatalog.read(spark, root)
+      case _: IllegalArgumentException | _: org.apache.spark.sql.AnalysisException =>
+        runBuild(spark, nFiles, root); IndexCatalog.read(spark, root)
     }
     idx.termdict.cache().count() // the dictionary is the hot small table
     // warm each plan once (codegen compiles per distinct query); report
@@ -130,7 +134,8 @@ object Bench {
     // driver contract: per-query seconds at sfDir
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(_) => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

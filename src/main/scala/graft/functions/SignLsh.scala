@@ -21,16 +21,16 @@ import org.apache.spark.sql.types._
   * bit-identical (per-b accumulation is ascending i on both paths), so the
   * DuckDB oracles are unchanged. Null vector → null; null element → null
   * (multiplication with null poisons the composed fold the same way).
-  * Vectors shorter than `dim` are folded over their own length, matching
-  * `zip_with(vec, sequence(0, dim-1), ...)`'s null-padding being dropped
-  * by the `+` fold only when the PRODUCT side is null — in practice every
-  * caller passes fixed-width vectors; the parity test covers the fixed
-  * width only.
+  * STRICT on width: a vector whose length ≠ dim returns null — wrong-width
+  * data surfaces instead of silently bucketing differently than the
+  * composed/oracle formulation (whose null-padding semantics at mixed
+  * widths are an accident of zip_with, not a spec).
   */
 case class SignLsh(vec: Expression, signs: Array[Array[Double]])
   extends Expression {
 
   private val nBits = signs.length
+  private val dim = if (nBits == 0) 0 else signs(0).length
 
   override def children: Seq[Expression] = Seq(vec)
   override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
@@ -46,14 +46,14 @@ case class SignLsh(vec: Expression, signs: Array[Array[Double]])
     if (v == null) return null
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
+    if (nBits == 0 || n != signs(0).length) return null
     var bucket = 0
     var b = 0
     while (b < nBits) {
       val h = signs(b)
       var acc = 0.0
       var i = 0
-      val m = math.min(n, h.length)
-      while (i < m) {
+      while (i < n) {
         if (a.isNullAt(i)) return null
         acc += a.getFloat(i).toDouble * h(i)
         i += 1
@@ -81,12 +81,11 @@ case class SignLsh(vec: Expression, signs: Array[Array[Double]])
         $arrayData $a = ${vecGen.value};
         int $n = $a.numElements();
         int $bucket = 0;
-        boolean $bad = false;
+        boolean $bad = ($n != ${dim}); // strict width: wrong-size ⇒ null
         for (int $b = 0; $b < ${nBits} && !$bad; $b++) {
           double[] $h = $signsRef[$b];
           double $acc = 0.0;
-          int $m = $n < $h.length ? $n : $h.length;
-          for (int $i = 0; $i < $m; $i++) {
+          for (int $i = 0; $i < $n; $i++) {
             if ($a.isNullAt($i)) { $bad = true; break; }
             $acc += ((double) $a.getFloat($i)) * $h[$i];
           }

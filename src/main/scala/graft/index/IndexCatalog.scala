@@ -49,7 +49,16 @@ object IndexCatalog {
 
   private def readManifest(spark: SparkSession, root: String): Map[String, String] = {
     val f = fs(spark, root); val mp = new Path(s"$root/manifest.json")
-    if (!f.exists(mp)) return Map.empty
+    if (!f.exists(mp)) {
+      // writeManifest's swap is delete-then-rename (Hadoop FileSystem.rename
+      // won't overwrite): a crash between the two leaves no manifest.json
+      // but a COMPLETE _manifest.json.tmp (the tmp is fully written+closed
+      // before the delete). Promote it — this closes the one commit window
+      // the append/build protocols couldn't otherwise recover from.
+      val tmp = new Path(s"$root/_manifest.json.tmp")
+      if (f.exists(tmp)) f.rename(tmp, mp)
+      if (!f.exists(mp)) return Map.empty
+    }
     val in = f.open(mp)
     val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     // one `"key": "value"` pair per line

@@ -22,6 +22,9 @@ import org.apache.spark.storage.StorageLevel
   *    per consumer (measured 4× on `jaccardPairs`, 76% of the round-1 bench).
   *    On a real cluster the equivalent is a checkpoint table; MEMORY_AND_DISK
   *    spills instead of recomputing and is evicted LRU when memory is tight.
+  *    The persists are NOT unpersisted here (the results are lazy); a
+  *    long-lived driver calling these repeatedly should
+  *    `spark.catalog.clearCache()` between batches (Bench does).
   */
 object Dedup {
 

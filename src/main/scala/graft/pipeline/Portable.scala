@@ -20,10 +20,6 @@ object Portable {
   def md5Long(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** j-th member of the md5 hash family (for minhash signatures). */
-  def md5LongSeeded(j: Int, s: Column): Column =
-    md5Long(concat(lit(j.toString), lit(":"), s))
-
   /** Two independent 56-bit halves of ONE md5 digest — the seeds of the
     * Carter–Wegman minhash family `h_j = h1 + j·h2` ([[md5FamilyMember]]).
     * One digest per value instead of one per (value, j): at corpus scale

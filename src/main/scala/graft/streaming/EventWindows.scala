@@ -98,13 +98,17 @@ object EventWindows {
     val src = stageSource(eventsParquet)
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema).parquet(src)
-    val q = windowedCounts(stream).writeStream
+    val agg = windowedCounts(stream)
+    val q = agg.writeStream
       .outputMode("append")
       .format("parquet").option("path", outDir)
       .option("checkpointLocation", freshCkpt(checkpoint))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.processAllAvailable(); q.stop()
-    spark.read.parquet(outDir)
+    // explicit schema: when the source's time span never advances the
+    // watermark past a window, the sink holds zero data files and schema
+    // inference would throw instead of returning an empty result
+    spark.read.schema(agg.schema).parquet(outDir)
   }
 }

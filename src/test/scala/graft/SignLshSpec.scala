@@ -32,5 +32,11 @@ class SignLshSpec extends AnyFunSuite {
       .select(col("v").cast("array<float>").as("v"))
       .select(Similarity.signLshBucket(col("v"), 64, 8))
     assert(nul.head().isNullAt(0))
+    // strict width: a wrong-size vector surfaces as null, never as a
+    // silently-different bucket
+    val short = Seq(Tuple1(Seq(1f, 2f, 3f))).toDF("v")
+      .select(col("v").cast("array<float>").as("v"))
+      .select(Similarity.signLshBucket(col("v"), 64, 8))
+    assert(short.head().isNullAt(0))
   }
 }
