@@ -145,6 +145,30 @@ object SparkEntry {
        |       FROM hx, generate_series(0, 7) hj(j)),
        |sig AS (SELECT doc_id, j AS h, min(v) AS minhash FROM hv GROUP BY doc_id, j)""".stripMargin
 
+  /** Zero-to-one over "spark merge" in SQL — exact under the
+    * prefix-disjoint reduction (expansion sets of prefix-disjoint query
+    * terms share no expanded term, so the greedy df-pool never re-touches
+    * a node; per (doc, qti) the max-score entry consumes).
+    */
+  private def ztoSql(finalOrder: String = "ORDER BY doc_id"): String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs),
+       |t AS (SELECT doc_id, count(*) AS fl FROM toks GROUP BY doc_id),
+       |doclen AS (SELECT d.doc_id, coalesce(t.fl, 0) AS fl FROM docs d LEFT JOIN t ON d.doc_id = t.doc_id),
+       |post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+       |tdf AS (SELECT DISTINCT term FROM post),
+       |qt AS (SELECT * FROM (VALUES (0, 'spark'), (1, 'merge')) AS t(qti, qterm)),
+       |exp AS (SELECT qt.qti, qt.qterm, tdf.term AS eterm FROM qt JOIN tdf ON tdf.term LIKE qt.qterm || '%'),
+       |ent AS (SELECT p.doc_id, e.qti, e.eterm,
+       |         1.0 - (strlen(e.eterm) - strlen(e.qterm)) * 1.0 / strlen(e.eterm) AS score,
+       |         p.tf, d.fl
+       |        FROM post p JOIN exp e ON p.term = e.eterm JOIN doclen d ON d.doc_id = p.doc_id),
+       |best AS (SELECT doc_id, qti, score, tf, fl,
+       |         row_number() OVER (PARTITION BY doc_id, qti ORDER BY score DESC, eterm ASC) AS rn FROM ent),
+       |contrib AS (SELECT doc_id, least(score / tf, 1.0) * tf / greatest(fl, 2) AS c FROM best WHERE rn = 1)
+       |SELECT doc_id, CAST(round(sum(c) * 1000000.0) AS BIGINT) AS score_micro
+       |FROM contrib GROUP BY doc_id $finalOrder""".stripMargin
+
   // ---------- queries ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -380,6 +404,17 @@ object SparkEntry {
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
         .orderBy("doc_id")),
 
+    // zero-to-one under block-max WAND (scorer-generic pruning via the
+    // entscore/qlen bound): same tie-stable micro-unit top-20 cut as q24,
+    // oracle = the q09 prefix-disjoint reduction re-ranked and cut
+    "q32_zto_wand" -> ((s, dir) =>
+      graft.query.BlockMaxTopK.query(IndexCache.documents(s, dir),
+        IndexCache.blocks(s, dir), "spark merge", ZeroToOne(), k = 200,
+        blockSize = IndexCache.BlockSize)
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)),
+
     // tokenizer SPI end-to-end: index built with the CODE tokenizer
     // (identifiers / numbers / single punctuation marks), query tokenized
     // with the matching driver-side tokenizer — "merge dat ." carries a
@@ -490,24 +525,11 @@ object SparkEntry {
     // zero-to-one under the prefix-disjoint reduction (see the q09 query
     // comment): per (doc, qti) the max-score entry consumes, tiebreak
     // expanded-term asc; contribution min(score/tf,1)·tf/max(fl, qlen=2)
-    "q09_zto" ->
-      """WITH docs AS (SELECT doc_id, text FROM documents),
-        |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs),
-        |t AS (SELECT doc_id, count(*) AS fl FROM toks GROUP BY doc_id),
-        |doclen AS (SELECT d.doc_id, coalesce(t.fl, 0) AS fl FROM docs d LEFT JOIN t ON d.doc_id = t.doc_id),
-        |post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
-        |tdf AS (SELECT DISTINCT term FROM post),
-        |qt AS (SELECT * FROM (VALUES (0, 'spark'), (1, 'merge')) AS t(qti, qterm)),
-        |exp AS (SELECT qt.qti, qt.qterm, tdf.term AS eterm FROM qt JOIN tdf ON tdf.term LIKE qt.qterm || '%'),
-        |ent AS (SELECT p.doc_id, e.qti, e.eterm,
-        |         1.0 - (strlen(e.eterm) - strlen(e.qterm)) * 1.0 / strlen(e.eterm) AS score,
-        |         p.tf, d.fl
-        |        FROM post p JOIN exp e ON p.term = e.eterm JOIN doclen d ON d.doc_id = p.doc_id),
-        |best AS (SELECT doc_id, qti, score, tf, fl,
-        |         row_number() OVER (PARTITION BY doc_id, qti ORDER BY score DESC, eterm ASC) AS rn FROM ent),
-        |contrib AS (SELECT doc_id, least(score / tf, 1.0) * tf / greatest(fl, 2) AS c FROM best WHERE rn = 1)
-        |SELECT doc_id, CAST(round(sum(c) * 1000000.0) AS BIGINT) AS score_micro
-        |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q09_zto" -> ztoSql(),
+
+    // zero-to-one WAND: pruning is lossless, so the same reduction with a
+    // tie-stable micro-unit top-20 cut is the oracle
+    "q32_zto_wand" -> ztoSql("ORDER BY score_micro DESC, doc_id ASC LIMIT 20"),
 
     // same sign-LSH bucket math as q16 (proven hash-identical), the same
     // 1-bit multiprobe set as Similarity.lshProbeCandidates, exact cosine

@@ -85,6 +85,22 @@ class IncrementalSpec extends TestBase {
     assert(IndexCatalog.read(spark, root).docstats.count() == 4)
   }
 
+  test("manifest delete-then-rename crash window is recoverable") {
+    val root = Files.createTempDirectory("graft_mrec_").toString
+    IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 4)
+    // simulate a crash inside writeManifest's swap: dst deleted, COMPLETE
+    // tmp left behind (the tmp is always fully written before the delete)
+    val m = java.nio.file.Paths.get(s"$root/manifest.json")
+    val tmp = java.nio.file.Paths.get(s"$root/_manifest.json.tmp")
+    java.nio.file.Files.copy(m, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.delete(m)
+    // readManifest must promote the tmp and serve the index
+    val idx = IndexCatalog.read(spark, root)
+    assert(idx.docstats.count() == 2)
+    assert(java.nio.file.Files.exists(m) && !java.nio.file.Files.exists(tmp))
+  }
+
   test("streaming ingestion: micro-batches land as queryable deltas") {
     val root = Files.createTempDirectory("graft_stream_").toString
     val ckpt = Files.createTempDirectory("graft_ckpt_").toString
