@@ -284,7 +284,10 @@ object SparkEntry {
     // both sides so sub-1e-6 f64 noise cannot flip boundary pairs.
     "q31_cos_neardup" -> ((s, dir) =>
       Similarity.cosineNearDups(emb(s, dir), "vec_id", "embedding", 64, 8,
-        minCos = -1.0) // all bucket pairs; threshold applied in micro units
+        // all bucket pairs, threshold applied in micro units; cap disabled
+        // because the ORACLE enumerates every same-bucket pair — the
+        // operator's production default keeps the hot-bucket cap
+        minCos = -1.0, maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"), micro(col("cos")).as("cos_micro"))
         .filter(col("cos_micro") >= 200000L)
         .orderBy("id_a", "id_b")),

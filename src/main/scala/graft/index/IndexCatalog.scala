@@ -379,6 +379,11 @@ object IndexCatalog {
     */
   def vacuum(spark: SparkSession, root: String): Unit = {
     val f = fs(spark, root)
+    // a staged-but-unpublished append must land BEFORE the compaction:
+    // its staged termdict/fieldstats were merged against the pre-vacuum
+    // corpus, and publishing them after the rewrite would resurrect the
+    // purged docs' df/stats
+    resumeAppend(spark, root)
     if (!f.exists(new Path(s"$root/tombstones"))) return
     val idx = read(spark, root)
     var m = readManifest(spark, root)

@@ -57,8 +57,12 @@ object AppendProps extends Properties("Append") {
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val b = QueryEngine.query(want, q, BM25()).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val dictOk = got.termdict.select("term", "df")
-        .exceptAll(want.termdict).count() == 0
+      val gotDict = got.termdict.select("term", "df")
+      val wantDict = want.termdict.select("term", "df")
+      // BOTH directions: a term lost by the append (outside the query's
+      // expansion sets) must fail the property too
+      val dictOk = gotDict.exceptAll(wantDict).count() == 0 &&
+        wantDict.exceptAll(gotDict).count() == 0
       val sa = got.fieldStats(); val sb = want.fieldStats()
       a == b && dictOk && sa.n == sb.n && sa.sums.toSeq == sb.sums.toSeq
     }

@@ -85,6 +85,24 @@ class IncrementalSpec extends TestBase {
     assert(IndexCatalog.read(spark, root).docstats.count() == 4)
   }
 
+  test("vacuum lands a pending staged append before compacting") {
+    val root = Files.createTempDirectory("graft_incr4_").toString
+    IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 8)
+    IndexCatalog.stageAppend(batch(batchB), "id", root) // "crash" before publish
+    IndexCatalog.removeDocuments(spark, root, Seq(0L))
+    IndexCatalog.vacuum(spark, root) // must resume the append FIRST
+    val idx = IndexCatalog.read(spark, root)
+    val full = IndexBuilder.build(
+      batch((batchA ++ batchB).filterNot(_._1 == 0L)), "id",
+      Seq("title", "description"))
+    assert(idx.docstats.count() == 3)
+    // df/stats must reflect (A ∪ B) − removed, not the pre-vacuum corpus
+    assert(idx.termdict.select("term", "df").exceptAll(full.termdict).count() == 0 &&
+      full.termdict.exceptAll(idx.termdict.select("term", "df")).count() == 0)
+    val sa = idx.fieldStats(); val sb = full.fieldStats()
+    assert(sa.n == sb.n && sa.sums.toSeq == sb.sums.toSeq)
+  }
+
   test("manifest delete-then-rename crash window is recoverable") {
     val root = Files.createTempDirectory("graft_mrec_").toString
     IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 4)

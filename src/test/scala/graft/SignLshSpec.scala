@@ -22,21 +22,38 @@ class SignLshSpec extends AnyFunSuite {
     assert(distinct > 1, "degenerate bucketing") // buckets actually spread
   }
 
-  test("fused bucket stays inside whole-stage codegen; null vector is null") {
+  test("fused bucket stays inside whole-stage codegen") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val df = e.select(Similarity.signLshBucket(col("embedding"), 64, 8).as("b"))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project") && plan.contains("signlsh"), plan)
+  }
+
+  test("fused == composed on DIRTY inputs: null vec/element, short, long, NaN") {
     import spark.implicits._
-    val nul = Seq(Tuple1(null.asInstanceOf[Seq[Float]])).toDF("v")
+    val dim = 4; val nBits = 3
+    def full = Seq.tabulate(dim)(i => Some(0.1f * (i + 1)))
+    val rows: Seq[Seq[Option[Float]]] = Seq(
+      null, // null vector → composed bucket 0
+      full, // clean
+      full.take(dim - 1), // shorter → null-padding poisons → 0
+      full ++ Seq(Some(9f), Some(-3f)), // longer → surplus folds with sign −1
+      full.updated(1, None), // null element → 0
+      full.updated(2, Some(Float.NaN)) // NaN → NaN proj → bit SET (NaN > 0)
+    )
+    val df = rows.map(Tuple1(_)).toDF("v")
       .select(col("v").cast("array<float>").as("v"))
-      .select(Similarity.signLshBucket(col("v"), 64, 8))
-    assert(nul.head().isNullAt(0))
-    // strict width: a wrong-size vector surfaces as null, never as a
-    // silently-different bucket
-    val short = Seq(Tuple1(Seq(1f, 2f, 3f))).toDF("v")
-      .select(col("v").cast("array<float>").as("v"))
-      .select(Similarity.signLshBucket(col("v"), 64, 8))
-    assert(short.head().isNullAt(0))
+      // repartition defeats local-relation constant folding so the fused
+      // side actually runs its generated code
+      .repartition(2)
+      .select(
+        Similarity.signLshBucket(col("v"), dim, nBits).as("fused"),
+        Similarity.signLshBucketComposed(col("v"), dim, nBits).as("composed"))
+      .collect()
+    df.zipWithIndex.foreach { case (r, i) =>
+      val c = if (r.isNullAt(1)) 0 else r.getInt(1) // composed never nulls
+      assert(!r.isNullAt(0) && r.getInt(0) == c,
+        s"row $i: fused=${r.get(0)} composed=${r.get(1)}")
+    }
   }
 }
