@@ -135,12 +135,18 @@ object Dedup {
   private[graft] def minhashFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     val withHex = sh.withColumn("_hex", md5(col("shingle")))
     val (h1, h2) = Portable.md5Halves(col("_hex"))
-    val hashed = withHex
-      .select(col("doc_id"), h1.as("_h1"), h2.as("_h2"))
+    val base = withHex.select(col("doc_id"), h1.as("_h1"), h2.as("_h2"))
+    // ONE groupBy(doc) with numHashes fixed-width min buffers instead of
+    // exploding numHashes rows per shingle into the shuffle: map-side
+    // combine collapses each partition to one row per doc, so the exchange
+    // carries ~numHashes× less volume; the (doc_id, h, minhash) row shape
+    // is restored by a post-agg unpivot over already-tiny data
+    val minCols = (0 until numHashes).map(j =>
+      min(Portable.md5FamilyMember(col("_h1"), col("_h2"), j)).as(s"_m$j"))
+    base.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
-        posexplode(array((0 until numHashes).map(j =>
-          Portable.md5FamilyMember(col("_h1"), col("_h2"), j)): _*)).as(Seq("h", "v")))
-    hashed.groupBy(col("doc_id"), col("h")).agg(min(col("v")).as("minhash"))
+        posexplode(array((0 until numHashes).map(j => col(s"_m$j")): _*))
+          .as(Seq("h", "minhash")))
   }
 
   /** LSH banding over minhash signatures: rowsPerBand consecutive hashes
