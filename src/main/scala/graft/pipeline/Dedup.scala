@@ -133,9 +133,11 @@ object Dedup {
     * signature stage numHashes× cheaper.
     */
   private[graft] def minhashFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
-    val withHex = sh.withColumn("_hex", md5(col("shingle")))
-    val (h1, h2) = Portable.md5Halves(col("_hex"))
-    val base = withHex.select(col("doc_id"), h1.as("_h1"), h2.as("_h2"))
+    // native digest→two-longs (no hex encode / substring / base-16 parse
+    // per shingle); value-identical to Portable.md5Halves over md5(col)
+    val base = sh
+      .withColumn("_h", graft.functions.Md5Halves.halvesCol(col("shingle")))
+      .select(col("doc_id"), col("_h.h1").as("_h1"), col("_h.h2").as("_h2"))
     // ONE groupBy(doc) with numHashes fixed-width min buffers instead of
     // exploding numHashes rows per shingle into the shuffle: map-side
     // combine collapses each partition to one row per doc, so the exchange
