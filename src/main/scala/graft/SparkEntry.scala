@@ -262,9 +262,11 @@ object SparkEntry {
     "q13_simhash" -> ((s, dir) =>
       Dedup.simhash32(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
-    // pipeline: exact n-gram Jaccard near-dup pairs
+    // pipeline: exact n-gram Jaccard near-dup pairs. maxBucket=200 passed
+    // EXPLICITLY (library default stays 1000): hot-shingle pairs above 200
+    // carry no dedup signal here and the cap bounds the self-join
     "q14_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.02)
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.02, maxBucket = 200)
         .select(col("id_a"), col("id_b"), col("inter"),
           col("size_a"), col("size_b"), micro(col("jaccard")).as("jaccard_micro"))
         .orderBy("id_a", "id_b")),

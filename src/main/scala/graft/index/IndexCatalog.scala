@@ -49,21 +49,27 @@ object IndexCatalog {
 
   private def readManifest(spark: SparkSession, root: String): Map[String, String] = {
     val f = fs(spark, root); val mp = new Path(s"$root/manifest.json")
-    if (!f.exists(mp)) {
-      // writeManifest's swap is delete-then-rename (Hadoop FileSystem.rename
-      // won't overwrite): a crash between the two leaves no manifest.json
-      // but a COMPLETE _manifest.json.tmp (the tmp is fully written+closed
-      // before the delete). Promote it — this closes the one commit window
-      // the append/build protocols couldn't otherwise recover from.
-      val tmp = new Path(s"$root/_manifest.json.tmp")
-      if (f.exists(tmp)) f.rename(tmp, mp)
-      if (!f.exists(mp)) return Map.empty
-    }
-    val in = f.open(mp)
-    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     // one `"key": "value"` pair per line
-    "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(s)
-      .map(m => m.group(1) -> m.group(2)).toMap
+    def parse(p: Path): Map[String, String] = {
+      val in = f.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
+    if (f.exists(mp)) return parse(mp)
+    // writeManifest's swap is delete-then-rename (Hadoop FileSystem.rename
+    // won't overwrite): a crash between the two leaves no manifest.json
+    // but a COMPLETE _manifest.json.tmp (the tmp is fully written+closed
+    // before the delete). Promote it best-effort; when the rename fails
+    // (read-only mount) or another reader/writer wins the race, fall back
+    // to parsing whichever file exists — the read path must stay usable
+    // without its repair side effect.
+    val tmp = new Path(s"$root/_manifest.json.tmp")
+    if (!f.exists(tmp)) return Map.empty
+    val renamed = try f.rename(tmp, mp) catch { case _: Throwable => false }
+    if (f.exists(mp)) parse(mp)
+    else if (!renamed && f.exists(tmp)) parse(tmp)
+    else Map.empty
   }
 
   private def writeManifest(spark: SparkSession, root: String,

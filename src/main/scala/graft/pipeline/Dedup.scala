@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline: exact,
   * shingle-Jaccard, MinHash+LSH, and SimHash near-dup.
@@ -22,9 +21,10 @@ import org.apache.spark.storage.StorageLevel
   *    per consumer (measured 4× on `jaccardPairs`, 76% of the round-1 bench).
   *    On a real cluster the equivalent is a checkpoint table; MEMORY_AND_DISK
   *    spills instead of recomputing and is evicted LRU when memory is tight.
-  *    The persists are NOT unpersisted here (the results are lazy); a
-  *    long-lived driver calling these repeatedly should
-  *    `spark.catalog.clearCache()` between batches (Bench does).
+  *    The persists are OWNED by the caller-supplied [[CacheScope]] (the
+  *    results are lazy, so the operator cannot unpersist them itself);
+  *    consume the result and `close()` the scope — see [[CacheScope]]. With
+  *    no explicit scope they land in [[CacheScope.global]].
   */
 object Dedup {
 
@@ -58,19 +58,26 @@ object Dedup {
     * least one (non-hot) shingle; Jaccard over DISTINCT shingle sets;
     * output (id_a < id_b, inter, size_a, size_b, jaccard) with
     * jaccard ≥ minJaccard.
+    *
+    * `maxBucket` trades recall for work: a shingle shared by more than
+    * `maxBucket` docs produces NO candidate pairs (it is boilerplate and
+    * alone contributes up to cap²/2 pairs). The default stays at the
+    * original 1000 for caller compatibility; pass a tighter cap (the
+    * contract query uses 200) when throughput matters more than recall in
+    * the 200–1000 band — or use [[jaccardPairsViaLsh]], whose recall is
+    * governed by the LSH S-curve instead of a hot-bucket cap and which is
+    * the structurally sub-quadratic path at corpus scale.
     */
   def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
-      minJaccard: Double, maxBucket: Int = 200): DataFrame = {
+      minJaccard: Double, maxBucket: Int = 1000,
+      scope: CacheScope = CacheScope.global): DataFrame = {
     // `sh` feeds sizes, cold AND (via pruned) both self-join sides: persist
-    // once or the explode pipeline runs 4×. The default cap is 200: a
-    // shingle shared by >200 docs is boilerplate, carries no dedup signal,
-    // and alone contributes up to cap²/2 candidate pairs.
-    val sh = docShingles(docs, id, text, k).persist(StorageLevel.MEMORY_AND_DISK)
+    // once or the explode pipeline runs 4×.
+    val sh = scope.cut(docShingles(docs, id, text, k))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val cold = sh.groupBy(col("shingle")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") >= 2)
-    val pruned = sh.join(cold.select("shingle"), Seq("shingle"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pruned = scope.cut(sh.join(cold.select("shingle"), Seq("shingle")))
     val pairs = pruned.as("l").join(pruned.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
@@ -94,10 +101,11 @@ object Dedup {
     */
   def jaccardPairsViaLsh(docs: DataFrame, id: String, text: String, k: Int,
       numHashes: Int, rowsPerBand: Int, minJaccard: Double,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, scope: CacheScope = CacheScope.global): DataFrame = {
     require(minJaccard > 0, "zero-intersection candidates are dropped")
-    val sh = docShingles(docs, id, text, k).persist(StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(minhashFromShingles(sh, numHashes), rowsPerBand, maxBucket)
+    val sh = scope.cut(docShingles(docs, id, text, k))
+    val cands = lshCandidates(minhashFromShingles(sh, numHashes), rowsPerBand,
+      maxBucket, scope)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // |A ∩ B| per candidate pair: fan the (small) candidate set out to the
     // left doc's shingles, then an equi-join on (right doc, shingle)
@@ -156,15 +164,14 @@ object Dedup {
     * candidate pairs. Output (id_a < id_b) distinct.
     */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, scope: CacheScope = CacheScope.global): DataFrame = {
     // one small row per (doc, band); feeds cold + both self-join sides, so
     // persist — otherwise the whole minhash pipeline upstream re-runs ≥3×
-    val banded = signatures
+    val banded = scope.cut(signatures
       .withColumn("band", (col("h") / rowsPerBand).cast("int"))
       .groupBy(col("doc_id"), col("band"))
       .agg(md5(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("h"), col("minhash")))))).as("bkey"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        concat_ws(":", col("h"), col("minhash")))))).as("bkey")))
     val cold = banded.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") >= 2)
@@ -204,13 +211,12 @@ object Dedup {
     * join on (piece index, piece value), then filter exact Hamming.
     */
   def simhashNearDups(hashes: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, scope: CacheScope = CacheScope.global): DataFrame = {
     require(maxHamming <= 3, "4-piece split guarantees recall only to distance 3")
-    val pieces = hashes.select(col("doc_id"), col("simhash"),
+    val pieces = scope.cut(hashes.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(p =>
         shiftright(col("simhash"), p * 8).bitwiseAND(lit(0xffL))): _*))
-        .as(Seq("p", "pv")))
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds cold + both join sides
+        .as(Seq("p", "pv")))) // feeds cold + both join sides
     val cold = pieces.groupBy(col("p"), col("pv"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") >= 2)

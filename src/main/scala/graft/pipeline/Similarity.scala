@@ -105,13 +105,14 @@ object Similarity {
       .limit(k)
 
   /** Embedding-cosine near-duplicate pairs: candidates share an LSH bucket
-    * (self-join on bucket, capped), exact cosine filter ≥ minCos.
+    * (self-join on bucket, capped), exact cosine filter ≥ minCos. The
+    * bucket-assignment persist is owned by `scope` (see [[CacheScope]]).
     */
   def cosineNearDups(emb: DataFrame, id: String, vec: String, dim: Int,
-      nBits: Int, minCos: Double, maxBucket: Int = 10000): DataFrame = {
-    val b = emb.select(col(id).cast("long").as("vec_id"), col(vec).as("v"),
-      signLshBucket(col(vec), dim, nBits).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nBits: Int, minCos: Double, maxBucket: Int = 10000,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val b = scope.cut(emb.select(col(id).cast("long").as("vec_id"),
+      col(vec).as("v"), signLshBucket(col(vec), dim, nBits).as("bucket")))
     val cold = b.groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") >= 2)
     val pruned = b.join(cold.select("bucket"), Seq("bucket"))
