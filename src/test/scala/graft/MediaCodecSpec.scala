@@ -1,0 +1,75 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.MediaCodec
+
+/** The media header codec must parse REAL encoder output, not just its own
+  * synthesis: `javax.imageio` (in the JDK — no external deps) writes
+  * genuine PNG and baseline-JPEG files (the JPEG carrying the full
+  * APP0/DQT/SOF0/DHT/SOS segment train the marker walk has to skip), and
+  * [[MediaCodec.decodeDims]] must recover the exact dimensions. The inverse
+  * holds for PNG: ImageIO must fully decode [[MediaCodec.encodePng]]'s
+  * output (valid CRCs, valid zlib stream), proving the synthetic blobs are
+  * real PNGs rather than look-alikes.
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private def imageIoBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // non-trivial pixels so the JPEG entropy coder emits real data
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+    val out = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  test("decodeDims parses real ImageIO-encoded PNGs") {
+    for ((w, h) <- Seq((1, 1), (64, 127), (123, 45))) {
+      assert(MediaCodec.decodeDims(imageIoBytes("png", w, h))
+        .contains(("png", w, h)))
+    }
+  }
+
+  test("decodeDims parses real ImageIO-encoded baseline JPEGs") {
+    for ((w, h) <- Seq((8, 8), (64, 127), (123, 45))) {
+      assert(MediaCodec.decodeDims(imageIoBytes("jpg", w, h))
+        .contains(("jpeg", w, h)))
+    }
+  }
+
+  test("encodePng output is a fully valid PNG (ImageIO decodes it)") {
+    for ((w, h) <- Seq((1, 1), (64, 127), (127, 127))) {
+      val bytes = MediaCodec.encodePng(w, h)
+      assert(bytes.length == 68 + h * (w + 1)) // the closed form the oracle uses
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO rejected the synthetic PNG")
+      assert(img.getWidth == w && img.getHeight == h)
+      assert(MediaCodec.decodeDims(bytes).contains(("png", w, h)))
+    }
+  }
+
+  test("encodeJpeg header stub round-trips through decodeDims") {
+    for ((w, h) <- Seq((64, 64), (127, 70), (1000, 2000))) {
+      val bytes = MediaCodec.encodeJpeg(w, h)
+      assert(bytes.length == 35)
+      assert(MediaCodec.decodeDims(bytes).contains(("jpeg", w, h)))
+    }
+  }
+
+  test("garbage and truncated inputs return None, never throw") {
+    val cases = Seq(
+      Array.empty[Byte],
+      Array[Byte](1, 2, 3),
+      "plain text, not media at all".getBytes("UTF-8"),
+      MediaCodec.encodePng(10, 10).take(20),        // truncated PNG
+      MediaCodec.encodeJpeg(10, 10).take(6),        // truncated JPEG
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)) // SOI+EOI only
+    for (c <- cases) assert(MediaCodec.decodeDims(c).isEmpty)
+  }
+}

@@ -122,15 +122,21 @@ class PipelineSpec extends TestBase {
     assert(q(2L) < 0.1)
   }
 
-  test("multimodal decode stub: schema, determinism, batch plumbing") {
+  test("multimodal decode: real header round-trip, determinism, batch plumbing") {
     val media = Multimodal.syntheticMedia(docsWithDups, "doc_id", "text")
     val a = Multimodal.decodeFeatures(media, "doc_id", "media").collect()
     val b = Multimodal.decodeFeatures(media, "doc_id", "media").collect()
     assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
     assert(a.length == 6)
-    val r = a.find(_.getLong(0) == 0L).get
-    assert(r.getLong(1) == docsWithDups.filter(col("doc_id") === 0).head().getString(1).length)
-    assert(Seq("png", "jpeg", "webp").contains(r.getString(2)))
-    assert(r.getSeq[Float](5).length == 8)
+    // the decoded dims must round-trip the synthesis formula through REAL
+    // PNG/JPEG header bytes
+    for (r <- a) {
+      val txt = docsWithDups.filter(col("doc_id") === r.getLong(0))
+        .head().getString(1).getBytes("UTF-8")
+      assert(r.getString(2) == (if (txt.length % 2 == 0) "png" else "jpeg"))
+      assert(r.getInt(3) == 64 + (txt(0) & 0xff) % 64)
+      assert(r.getInt(4) == 64 + (txt(1) & 0xff) % 64)
+      assert(r.getSeq[Float](5).length == 8)
+    }
   }
 }
