@@ -39,15 +39,26 @@ object IndexCatalog {
 
   val Stages: Seq[String] = Seq("docstats", "postings", "termdict", "fieldstats")
 
+  /** Current directory of a small swappable table (termdict/fieldstats).
+    * A fresh build writes the plain name; each append publishes a NEW
+    * generation-named dir (`termdict.g3`) and repoints this manifest key in
+    * the same atomic manifest commit as `append.gen` — so there is never a
+    * moment where the live table is renamed away: readers either see the
+    * old manifest (old dir, still present) or the new one (new dir,
+    * complete before the commit).
+    */
+  private def tableDir(m: Map[String, String], table: String): String =
+    m.getOrElse(s"table.$table", table)
+
   def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(term), lit(nBuckets)).cast("int")
 
   // ---- tiny JSON-ish manifest (no external deps) ----
 
-  private def fs(spark: SparkSession, p: String): FileSystem =
+  private[index] def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readManifest(spark: SparkSession, root: String): Map[String, String] = {
+  private[index] def readManifest(spark: SparkSession, root: String): Map[String, String] = {
     val f = fs(spark, root); val mp = new Path(s"$root/manifest.json")
     // one `"key": "value"` pair per line
     def parse(p: Path): Map[String, String] = {
@@ -72,7 +83,7 @@ object IndexCatalog {
     else Map.empty
   }
 
-  private def writeManifest(spark: SparkSession, root: String,
+  private[index] def writeManifest(spark: SparkSession, root: String,
       entries: Map[String, String]): Unit = {
     val f = fs(spark, root)
     val body = entries.toSeq.sorted
@@ -173,13 +184,13 @@ object IndexCatalog {
     val tombstones =
       if (hasTombs) spark.read.parquet(s"$root/tombstones")
       else InvertedIndex.emptyTombstones(spark)
-    val statsRow = spark.read.parquet(s"$root/fieldstats").head()
+    val statsRow = spark.read.parquet(s"$root/${tableDir(m, "fieldstats")}").head()
     val n = statsRow.getLong(0)
     val sums = (0 until nf).map(i => statsRow.getLong(i + 1)).toArray
     InvertedIndex(
       postings = spark.read.parquet(s"$root/postings"),
       docstats = spark.read.parquet(s"$root/docstats"),
-      termdict = spark.read.parquet(s"$root/termdict"),
+      termdict = spark.read.parquet(s"$root/${tableDir(m, "termdict")}"),
       tombstones = tombstones, numFields = nf, hasTombstones = hasTombs,
       statsHint = Some(FieldStats(n, sums, sums.map(_.toDouble / n.toDouble))))
   }
@@ -228,19 +239,22 @@ object IndexCatalog {
     *     small) are written under `_append_stage_<g>/` while the published
     *     index is untouched, then `append.staged = g` is recorded.
     *  2. PUBLISH ([[publishAppend]]): move staged part-files into the live
-    *     dirs under generation-unique names, swap termdict/fieldstats by
-    *     rename, commit `append.gen = g`. Every step is idempotent
-    *     (move-if-present, swap-if-staged-exists), so a crash anywhere is
-    *     resumed by the next [[addDocuments]]/[[resumeAppend]] call — a
-    *     partial append is always detectable (`append.staged` without the
-    *     matching `append.gen`) and never half-applied silently.
+    *     dirs under generation-unique names, promote termdict/fieldstats
+    *     into generation-NAMED dirs, then commit `append.gen = g` and the
+    *     `table.*` pointers in ONE manifest write. Every step is
+    *     idempotent (move-if-present, promote-if-staged-exists), so a
+    *     crash anywhere is resumed by the next
+    *     [[addDocuments]]/[[resumeAppend]] call — a partial append is
+    *     always detectable (`append.staged` without the matching
+    *     `append.gen`) and never half-applied silently.
     *
     * Reader visibility during publish: delta postings become visible
-    * before the merged dictionary/stats swap lands — structurally
-    * consistent (postings carry their own fl) with momentarily-stale
-    * df/avg, the same lag shape as the reference's latent deletion. The
-    * termdict swap itself is rename→rename (no delete-then-recreate
-    * window where the table is missing).
+    * before the dictionary/stats commit lands — structurally consistent
+    * (postings carry their own fl) with momentarily-stale df/avg, the same
+    * lag shape as the reference's latent deletion. The dictionary/stats
+    * swap itself is a manifest REPOINT at an already-complete generation
+    * dir: the live tables are never renamed away, so there is no window —
+    * crash included — where a reader finds them missing.
     */
   def addDocuments(docs: DataFrame, docIdCol: String, root: String): InvertedIndex = {
     val spark = docs.sparkSession
@@ -274,7 +288,7 @@ object IndexCatalog {
       .repartition(nb, col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.partitionBy("bucket").parquet(s"$stageDir/postings")
-    spark.read.parquet(s"$root/termdict")
+    spark.read.parquet(s"$root/${tableDir(m, "termdict")}")
       .select(col("term"), col("df"))
       .union(spark.read.parquet(s"$stageDir/postings")
         .groupBy(col("term")).agg(sum(col("occ")).as("df")))
@@ -341,32 +355,51 @@ object IndexCatalog {
     moveFiles(s"$stageDir/postings", s"$root/postings")
     moveFiles(s"$stageDir/docstats", s"$root/docstats")
 
-    // swap the small merged tables: rename current aside, staged in, drop
-    // old — never a window with the table missing. Skip when the staged
-    // copy is gone (already swapped by a previous attempt).
-    def swap(table: String): Unit = {
+    // promote the small merged tables into GENERATION-NAMED dirs; the live
+    // table is never renamed away — the single manifest write below
+    // repoints `table.<name>` and `append.gen` atomically, so a crash
+    // anywhere leaves the index readable (old manifest → old dir, still
+    // intact). Skip when the staged copy is gone AND the generation dir
+    // exists (already promoted by a previous attempt).
+    def promote(table: String): Unit = {
       val staged = new Path(s"$stageDir/$table")
-      if (!f.exists(staged)) return
-      val live = new Path(s"$root/$table")
-      val old = new Path(s"$root/_old_${table}_$g")
-      f.delete(old, true)
-      if (f.exists(live)) f.rename(live, old)
-      f.rename(staged, live)
-      f.delete(old, true)
+      val dst = new Path(s"$root/$table.g$g")
+      if (f.exists(staged)) {
+        f.delete(dst, true) // partial promote from a crashed attempt
+        f.rename(staged, dst)
+      }
+      require(f.exists(dst), s"append $g: neither staged nor promoted $table")
+      ()
     }
-    swap("termdict")
-    swap("fieldstats")
+    promote("termdict")
+    promote("fieldstats")
 
-    // commit: bump the generation and clear the pending marker (the delta's
-    // per-bucket lineage was recorded at stage time — no O(corpus) rescan
-    // here); drop any block stage (stale for the appended doc ranges)
+    // commit: ONE manifest write bumps the generation, repoints both small
+    // tables, clears the pending marker (the delta's per-bucket lineage was
+    // recorded at stage time — no O(corpus) rescan here), and drops any
+    // block stage (stale for the appended doc ranges)
     var m = readManifest(spark, root)
-    if (m.contains("stage.blocks.rows")) {
-      f.delete(new Path(s"$root/blocks"), true)
-      m = m - "stage.blocks.rows" - "stage.blocks.secs"
-    }
+    val hadBlocks = m.contains("stage.blocks.rows")
+    if (hadBlocks) m = m - "stage.blocks.rows" - "stage.blocks.secs"
     writeManifest(spark, root,
-      m - "append.staged" + ("append.gen" -> g.toString))
+      m - "append.staged" +
+        ("append.gen" -> g.toString) +
+        ("table.termdict" -> s"termdict.g$g") +
+        ("table.fieldstats" -> s"fieldstats.g$g"))
+
+    // post-commit garbage collection (all idempotent; readers holding the
+    // OLD manifest race this — the same already-published-read lag shape
+    // as the delta posting files above)
+    if (hadBlocks) f.delete(new Path(s"$root/blocks"), true)
+    def gcOldGens(table: String): Unit =
+      f.listStatus(new Path(root)).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory &&
+            (n == table || (n.startsWith(s"$table.g") && n != s"$table.g$g")))
+          f.delete(st.getPath, true)
+      }
+    gcOldGens("termdict")
+    gcOldGens("fieldstats")
     f.delete(new Path(stageDir), true)
     ()
   }
@@ -390,10 +423,24 @@ object IndexCatalog {
     // corpus, and publishing them after the rewrite would resurrect the
     // purged docs' df/stats
     resumeAppend(spark, root)
-    if (!f.exists(new Path(s"$root/tombstones"))) return
+    val mPre = readManifest(spark, root)
+    // `vacuum.pending` marks a compaction whose stages may have completed
+    // but whose final commit didn't — re-entering here finishes it (the
+    // stage keys make the rewrites skips); without the marker, a crash
+    // after the stage rewrites would strand the `table.*` pointers on the
+    // pre-vacuum generation dirs forever
+    val pending = mPre.getOrElse("vacuum.pending", "") == "true"
+    if (!f.exists(new Path(s"$root/tombstones")) && !pending) return
     val idx = read(spark, root)
-    var m = readManifest(spark, root)
-    m = m -- m.keys.filter(k => k.startsWith("stage.") || k.startsWith("lineage."))
+    var m = mPre
+    // clear stage/lineage keys so the rewrites run (on RESUME keep them —
+    // completed stages skip), but KEEP the table.* generation pointers:
+    // readers stay on the pre-vacuum termdict/fieldstats (with live
+    // tombstone recount, still correct) until the final commit below
+    // atomically repoints them at the rewritten tables
+    if (!pending)
+      m = m -- m.keys.filter(k => k.startsWith("stage.") || k.startsWith("lineage."))
+    m = m + ("vacuum.pending" -> "true")
     writeManifest(spark, root, m)
     // the block table (if built) still holds purged postings: drop it NOW —
     // its manifest stage key was just cleared, and leaving the dir behind
@@ -415,14 +462,32 @@ object IndexCatalog {
         (0 until nf).map(i => coalesce(sum(element_at(col("fl"), i + 1)), lit(0L)).as(s"s$i"))
       spark.read.parquet(s"$root/docstats").agg(aggs.head, aggs.tail: _*)
     }
-    f.delete(new Path(s"$root/tombstones"), true)
     // vacuum rewrote the whole posting store: refresh the global lineage
     // (append deltas were folded in by the rewrite, so their lines go)
     val perBucket = spark.read.parquet(s"$root/postings")
       .groupBy("bucket").count().orderBy("bucket").collect()
       .map(r => s"${r.getInt(0)}=${r.getLong(1)}").mkString(";")
+    // FINAL COMMIT (one manifest write): repoint the small tables at the
+    // rewritten plain dirs (drop the table.* generation keys), clear the
+    // pending marker, publish. Tombstones are deleted only AFTER the
+    // commit: against the compacted postings the anti-join and live-df
+    // recount are no-ops, so queries are correct in both orders, while
+    // deleting first would leave a crash window with stale gen-dir df and
+    // no tombstones
     writeManifest(spark, root,
-      (m -- m.keys.filter(_.startsWith("lineage.append."))) +
+      (m -- m.keys.filter(k =>
+        k.startsWith("lineage.append.") || k.startsWith("table."))) -
+        "vacuum.pending" +
         ("published" -> "true") + ("lineage.postings" -> perBucket))
+    f.delete(new Path(s"$root/tombstones"), true)
+    // GC the superseded generation dirs (post-commit; also re-swept by the
+    // next append's publish if this crashes)
+    f.listStatus(new Path(root)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory &&
+          (n.startsWith("termdict.g") || n.startsWith("fieldstats.g")))
+        f.delete(st.getPath, true)
+    }
+    ()
   }
 }

@@ -103,6 +103,39 @@ class IncrementalSpec extends TestBase {
     assert(sa.n == sb.n && sa.sums.toSeq == sb.sums.toSeq)
   }
 
+  test("crash between table promote and manifest commit leaves index readable") {
+    val root = Files.createTempDirectory("graft_incr5_").toString
+    IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 8)
+    IndexCatalog.stageAppend(batch(batchB), "id", root)
+    // simulate dying INSIDE publishAppend, after the generation-dir
+    // promotes but before the manifest commit: the staged small tables sit
+    // in termdict.g1/fieldstats.g1, the manifest still points at the plain
+    // dirs — readers must get the intact PRE-append index
+    val g = 1
+    for (t <- Seq("termdict", "fieldstats")) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$root/_append_stage_$g/$t"),
+        java.nio.file.Paths.get(s"$root/$t.g$g"))
+    }
+    val before = IndexCatalog.read(spark, root)
+    assert(before.docstats.count() == 2,
+      "pre-commit reader must see the old generation")
+    assert(QueryEngine.query(before, "abc", BM25()).collect().nonEmpty)
+
+    // recovery: promote() accepts the already-moved dirs and commits
+    IndexCatalog.resumeAppend(spark, root)
+    val idx = IndexCatalog.read(spark, root)
+    assert(idx.docstats.count() == 4)
+    val full = IndexBuilder.build(batch(batchA ++ batchB), "id",
+      Seq("title", "description"))
+    assert(idx.termdict.select("term", "df").exceptAll(full.termdict).count() == 0)
+    // the plain (stale) dirs are GC'd post-commit; the manifest points at g1
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/termdict")))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/manifest.json"))
+      .contains("\"table.termdict\": \"termdict.g1\""))
+  }
+
   test("manifest delete-then-rename crash window is recoverable") {
     val root = Files.createTempDirectory("graft_mrec_").toString
     IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 4)
