@@ -81,6 +81,14 @@ object Similarity {
     * recovers most sign-flip misses) — with their exact cosine vs the
     * query. No ordering/limit: the shared candidate stage of
     * [[lshCosineTopK]] and the oracle-checked contract query.
+    *
+    * SCALE NOTE: this is the INDEX-FREE one-shot variant — it recomputes
+    * the bucket assignment over the whole `emb` per call, which is fine
+    * for a single batch pass but a full corpus scan PER QUERY. Repeated
+    * queries should build [[graft.index.VectorIndex]] once (the same
+    * bucket assignment persisted bucket-partitioned) and use its
+    * partition-pruned `annTopK`, which reads only the ≤ nBits+1 probe
+    * buckets.
     */
   def lshProbeCandidates(emb: DataFrame, id: String, vec: String, dim: Int,
       nBits: Int, query: Seq[Float]): DataFrame = {

@@ -15,7 +15,7 @@ import graft.index.FieldStats
   * (qti, node) pair either consumes the qti or is pool-skipped; identical
   * copies then always skip), so we carry distinct entries only.
   */
-private[score] final case class ZEntry(
+private[graft] final case class ZEntry(
     doc_id: Long, field: Int, score: Double, qti: Int, node: String,
     tf: Int, fl: Int)
 
@@ -88,9 +88,11 @@ final case class ZeroToOne() extends ScoreModel {
 object ZeroToOne {
 
   /** The reference finalize greedy loop for one (doc, field) group
-    * (zero_to_one.rs:84-126), verbatim semantics.
+    * (zero_to_one.rs:84-126), verbatim semantics. (private[graft]: the
+    * 2-query-term closed-form reduction used by the q35 oracle is
+    * property-tested directly against this loop.)
     */
-  private[score] def fieldScore(entries: IndexedSeq[ZEntry], qlenRaw: Int): Double = {
+  private[graft] def fieldScore(entries: IndexedSeq[ZEntry], qlenRaw: Int): Double = {
     val sorted = entries.sortBy(e => (-e.score, e.qti, e.node))
     val pool = mutable.HashMap.empty[String, Int]
     val consumedQ = mutable.HashSet.empty[Int]

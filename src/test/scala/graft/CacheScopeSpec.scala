@@ -55,6 +55,9 @@ class CacheScopeSpec extends TestBase {
 
   test("global scope is releasable without touching unrelated caches") {
     import spark.implicits._
+    // earlier suites may have parked default-scope persists in the global
+    // scope: flush them so the baseline below is this test's own
+    CacheScope.releaseGlobal()
     val unrelated = Seq((1L, "keep")).toDF("id", "v").cache()
     unrelated.count()
     val before = persistedCount

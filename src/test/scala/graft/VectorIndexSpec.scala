@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.index.VectorIndex
+import graft.pipeline.Similarity
+
+/** Persisted ANN index: parity with the index-free recompute path, and —
+  * the point of persisting — PARTITION PRUNING: the probe scan must touch
+  * only the ≤ nBits+1 probe-bucket partitions, never the whole store.
+  */
+class VectorIndexSpec extends TestBase {
+
+  private val dim = 16
+  private val nBits = 6
+
+  private def vectors = {
+    import spark.implicits._
+    (0L until 300L).map(i =>
+      (i, Array.tabulate(dim)(d => (((i * 37 + d * 13) % 19) - 9).toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def builtRoot(): String = {
+    val root = Files.createTempDirectory("graft_vec_").toString
+    VectorIndex.build(vectors, "vec_id", "embedding", dim, nBits, root)
+    root
+  }
+
+  test("annTopK matches the index-free lshCosineTopK exactly") {
+    val root = builtRoot()
+    val q = vectors.filter(col("vec_id") === 7).head().getSeq[Float](1)
+    val got = VectorIndex.annTopK(spark, root, q, 25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.lshCosineTopK(vectors, "vec_id", "embedding",
+      dim, nBits, q, 25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("probe scan prunes to the probe-bucket partitions only") {
+    val root = builtRoot()
+    val q = vectors.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val probes = VectorIndex.probeSet(spark, root, q).toSet
+    assert(probes.size == nBits + 1)
+
+    val df = VectorIndex.probeCandidates(spark, root, q)
+    df.collect() // execute so AQE finalizes and scan metrics fill
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters: [bucket"),
+      s"no partition filter on the vector scan:\n$plan")
+    val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+    // the vectors scan must have selected ≤ |probes| partitions (the
+    // 1-row query-bucket job has its own scan-free plan)
+    val vecScan = scans.find(_.toString.contains("vectors")).getOrElse(
+      fail(s"no file scan over the vector store in:\n$plan"))
+    val nParts = vecScan.selectedPartitions.partitionCount
+    assert(nParts <= probes.size,
+      s"probe scan read $nParts partitions for ${probes.size} probes")
+    // and strictly fewer than the store holds (i.e. pruning really pruned)
+    val total = spark.read.parquet(s"$root/vectors")
+      .select("bucket").distinct().count()
+    assert(nParts < total, s"scan read all $total partitions")
+  }
+
+  test("build is idempotent; mismatched config is rejected") {
+    val root = builtRoot()
+    val before = Files.readString(java.nio.file.Paths.get(s"$root/manifest.json"))
+    VectorIndex.build(vectors, "vec_id", "embedding", dim, nBits, root)
+    val after = Files.readString(java.nio.file.Paths.get(s"$root/manifest.json"))
+    assert(before == after)
+    intercept[IllegalArgumentException] {
+      VectorIndex.build(vectors, "vec_id", "embedding", dim, nBits + 1, root)
+    }
+  }
+
+  test("probeCandidates equals a brute-force filter of the same buckets") {
+    val root = builtRoot()
+    val q = vectors.filter(col("vec_id") === 42).head().getSeq[Float](1)
+    val probes = VectorIndex.probeSet(spark, root, q)
+    val got = VectorIndex.probeCandidates(spark, root, q)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.lshProbeCandidates(vectors, "vec_id", "embedding",
+      dim, nBits, q)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    // every candidate really sits in a probe bucket of the stored index
+    val stored = VectorIndex.read(spark, root)
+      .filter(col("bucket").isin(probes: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == stored)
+  }
+}
