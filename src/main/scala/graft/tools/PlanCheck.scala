@@ -25,6 +25,9 @@ object PlanCheck {
       val scans = plan.linesIterator.filter(l =>
         l.contains("PushedFilters") || l.contains("ReadSchema") ||
           l.contains("PartitionFilters")).map(_.trim.take(160)).toSeq
+      // partition pruning evidence survives the 160-char cut on its own line
+      val pfilters = "PartitionFilters: \\[[^\\]]*\\]".r
+        .findAllIn(plan).toSeq.distinct.filter(!_.contains("[]"))
       val joins = plan.linesIterator.filter(l =>
         l.contains("Join")).map(_.trim.replaceAll("\\(.*", "").take(80)).toSeq.distinct
     val aggs = plan.linesIterator.filter(l => l.contains("Aggregate"))
@@ -32,6 +35,7 @@ object PlanCheck {
         .groupBy(identity).map { case (k, v) => s"$k x${v.size}" }.toSeq.sorted
       println(s"== $n")
       scans.foreach(s => println(s"   scan: $s"))
+      pfilters.foreach(p => println(s"   prune: ${p.take(200)}"))
       joins.foreach(j => println(s"   join: $j"))
       println(s"   aggs: ${aggs.mkString(", ")}")
     }
