@@ -49,10 +49,16 @@ object Dedup {
     docs.join(keep, docs(id) === keep("doc_id"), "left_semi")
   }
 
-  /** Distinct k-token shingles per doc: (doc_id, shingle). */
+  /** Distinct k-token shingles per doc: (doc_id, shingle). Tokenization is
+    * materialized in its own projection BEFORE the shingle windows so the
+    * window lambda indexes a bound array instead of re-splitting the text
+    * per element (see [[Portable.shinglesOfTokens]]).
+    */
   def docShingles(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
     docs.select(col(id).cast("long").as("doc_id"),
-      explode(array_distinct(Portable.shingles(col(text), k))).as("shingle"))
+        Portable.tokens(col(text)).as("_toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(Portable.shinglesOfTokens(col("_toks"), k))).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs: candidates = doc pairs sharing at
     * least one (non-hot) shingle; Jaccard over DISTINCT shingle sets;

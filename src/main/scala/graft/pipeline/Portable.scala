@@ -41,15 +41,21 @@ object Portable {
     */
   def tokens(text: Column): Column = graft.analysis.Analyzer.tokensCol(text)
 
-  /** k-token shingles: sliding windows joined by a single space.
-    * `transform(sequence(...))` keeps it inside codegen. Docs with fewer
-    * than k tokens produce no shingles.
+  /** k-token shingles over an ALREADY-MATERIALIZED token array column.
+    *
+    * The token array must be a bound attribute, not the tokenize
+    * expression itself: higher-order functions are evaluated outside
+    * whole-stage codegen with no subexpression elimination, so an
+    * `element_at(split(...), i)` inside the lambda re-splits the full text
+    * once per element per window offset — O(tokens·k) full-text splits per
+    * document (measured 3.5× on the sf0.1 minhash query). Callers project
+    * [[tokens]] into a column first (see [[Dedup.docShingles]]); Catalyst's
+    * CollapseProject keeps the multi-use non-cheap alias materialized.
+    * Docs with fewer than k tokens produce no shingles.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
+  def shinglesOfTokens(t: Column, k: Int): Column =
     when(size(t) >= k,
       transform(sequence(lit(0), size(t) - k),
         i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o + 1)): _*))
     ).otherwise(array())
-  }
 }
