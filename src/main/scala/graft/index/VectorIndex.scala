@@ -69,6 +69,89 @@ object VectorIndex {
       "published" -> "true"))
   }
 
+  /** Crash-safe incremental append — the ANN mirror of
+    * [[IndexCatalog.addDocuments]], simpler because bucket assignment has
+    * no global state (no merged dictionary/stats): the delta is assigned
+    * and staged bucket-partitioned, `append.staged` is recorded, then the
+    * staged files move into the live bucket dirs under generation-unique
+    * names and one manifest write commits `append.gen`. Every step is
+    * idempotent; an interrupted append is finished by the next
+    * [[addVectors]] call (or explicitly via [[resumeAppend]]). Cost is
+    * O(delta). New vec_ids must not collide with stored ones.
+    */
+  def addVectors(emb: DataFrame, id: String, vec: String, root: String): Unit = {
+    val spark = emb.sparkSession
+    resumeAppend(spark, root)
+    val g = stageVectors(emb, id, vec, root)
+    publishVecAppend(spark, root, g)
+  }
+
+  /** Phase 1 only (STAGE) — exposed for the crash-resume test, which
+    * "crashes" here and recovers via [[resumeAppend]].
+    */
+  private[graft] def stageVectors(emb: DataFrame, id: String, vec: String,
+      root: String): Int = {
+    val spark = emb.sparkSession
+    val m = IndexCatalog.readManifest(spark, root)
+    require(m.getOrElse("published", "") == "true", s"no published vector index at $root")
+    val (dim, nBits) = (m("config.dim").toInt, m("config.nBits").toInt)
+    val g = m.getOrElse("append.gen", "0").toInt + 1
+    val stageDir = s"$root/_vec_stage_$g"
+    val f = IndexCatalog.fs(spark, root)
+    f.delete(new Path(stageDir), true)
+    emb.select(col(id).cast("long").as("vec_id"), col(vec).as("v"),
+        Similarity.signLshBucket(col(vec), dim, nBits).as("bucket"))
+      .repartition(1 << nBits, col("bucket"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.partitionBy("bucket").parquet(stageDir)
+    val deltaRows = spark.read.parquet(stageDir).count()
+    IndexCatalog.writeManifest(spark, root, IndexCatalog.readManifest(spark, root) +
+      ("append.staged" -> g.toString) +
+      (s"append.$g.rows" -> deltaRows.toString))
+    g
+  }
+
+  /** Finish an append interrupted between stage-commit and publish-commit.
+    * No-op when nothing is pending.
+    */
+  def resumeAppend(spark: SparkSession, root: String): Unit = {
+    val m = IndexCatalog.readManifest(spark, root)
+    m.get("append.staged").foreach { g =>
+      if (m.getOrElse("append.gen", "0") != g) publishVecAppend(spark, root, g.toInt)
+    }
+  }
+
+  private def publishVecAppend(spark: SparkSession, root: String, g: Int): Unit = {
+    val f = IndexCatalog.fs(spark, root)
+    val stageDir = s"$root/_vec_stage_$g"
+    // move staged files into live bucket dirs under generation-unique
+    // names; re-runs skip files already moved (src gone or dst present)
+    def moveFiles(srcDir: String, dstDir: String): Unit = {
+      val sp = new Path(srcDir)
+      if (!f.exists(sp)) return
+      f.listStatus(sp).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("bucket="))
+          moveFiles(s"$srcDir/$n", s"$dstDir/$n")
+        else if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+          val dst = new Path(s"$dstDir/append_${g}_$n")
+          f.mkdirs(new Path(dstDir))
+          if (!f.exists(dst)) f.rename(st.getPath, dst)
+          else f.delete(st.getPath, false)
+        }
+      }
+    }
+    moveFiles(stageDir, s"$root/vectors")
+    val m = IndexCatalog.readManifest(spark, root)
+    val newRows = m.getOrElse("rows", "0").toLong +
+      m.getOrElse(s"append.$g.rows", "0").toLong
+    IndexCatalog.writeManifest(spark, root,
+      m - "append.staged" - s"append.$g.rows" +
+        ("append.gen" -> g.toString) + ("rows" -> newRows.toString))
+    f.delete(new Path(stageDir), true)
+    ()
+  }
+
   /** The stored vectors (with their `bucket` partition column). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val m = IndexCatalog.readManifest(spark, root)

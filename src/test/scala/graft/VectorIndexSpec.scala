@@ -77,6 +77,46 @@ class VectorIndexSpec extends TestBase {
     }
   }
 
+  test("addVectors(delta) == build(union); staged crash is resumed") {
+    import spark.implicits._
+    val all = vectors
+    val a = all.filter(col("vec_id") < 200)
+    val b = all.filter(col("vec_id") >= 200)
+    val root = Files.createTempDirectory("graft_vecapp_").toString
+    VectorIndex.build(a, "vec_id", "embedding", dim, nBits, root)
+    VectorIndex.addVectors(b, "vec_id", "embedding", root)
+
+    val full = Files.createTempDirectory("graft_vecfull_").toString
+    VectorIndex.build(all, "vec_id", "embedding", dim, nBits, full)
+    val q = all.filter(col("vec_id") === 123).head().getSeq[Float](1)
+    val got = VectorIndex.annTopK(spark, root, q, 30).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = VectorIndex.annTopK(spark, full, q, 30).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    // stored assignment identical to a one-shot build over the union
+    assert(VectorIndex.read(spark, root).select("vec_id", "bucket")
+      .exceptAll(VectorIndex.read(spark, full).select("vec_id", "bucket"))
+      .count() == 0)
+
+    // crash between stage-commit and publish: manifest says staged, the
+    // live store is untouched — readers see the pre-append index; resume
+    // completes the publish idempotently
+    val root2 = Files.createTempDirectory("graft_vecapp2_").toString
+    VectorIndex.build(a, "vec_id", "embedding", dim, nBits, root2)
+    VectorIndex.stageVectors(b, "vec_id", "embedding", root2)
+    assert(VectorIndex.read(spark, root2).count() == 200,
+      "staged-only append must not touch the live store")
+    VectorIndex.resumeAppend(spark, root2)
+    assert(VectorIndex.read(spark, root2).count() == 300)
+    val got2 = VectorIndex.annTopK(spark, root2, q, 30).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got2 == want)
+    // a second resume is a no-op
+    VectorIndex.resumeAppend(spark, root2)
+    assert(VectorIndex.read(spark, root2).count() == 300)
+  }
+
   test("probeCandidates equals a brute-force filter of the same buckets") {
     val root = builtRoot()
     val q = vectors.filter(col("vec_id") === 42).head().getSeq[Float](1)
