@@ -69,11 +69,29 @@ object EventWindows {
     * and batch-comparable, but driver-bounded. The deployment shape is
     * [[runAppendToDir]].
     */
+  /** Streaming state partition count: stateful operators shuffle into
+    * `spark.sql.shuffle.partitions` state-store instances, each paying
+    * per-batch checkpoint I/O — this is a STATE-SIZING knob, not a
+    * parallelism knob, and the session default (sized for batch shuffles)
+    * oversizes it badly for window-count-bounded state. Streaming entry
+    * points run on a cloned session pinned to this value so deployments
+    * size it to their window cardinality, independent of batch tuning.
+    */
+  val DefaultStatePartitions = 8
+
+  private def streamSession(spark: SparkSession, statePartitions: Int): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    ss
+  }
+
   def runAvailableNow(spark: SparkSession, eventsParquet: String,
-      checkpoint: String = ""): DataFrame = {
+      checkpoint: String = "",
+      statePartitions: Int = DefaultStatePartitions): DataFrame = {
+    val ss = streamSession(spark, statePartitions)
     val src = stageSource(eventsParquet)
-    val schema = spark.read.parquet(src).schema
-    val stream = spark.readStream.schema(schema).parquet(src)
+    val schema = ss.read.parquet(src).schema
+    val stream = ss.readStream.schema(schema).parquet(src)
     val name = "graft_event_windows_" + math.abs(eventsParquet.hashCode)
     val q = windowedCounts(stream).writeStream
       .outputMode("complete")
@@ -82,7 +100,7 @@ object EventWindows {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.processAllAvailable(); q.stop()
-    spark.table(name)
+    ss.table(name)
   }
 
   /** DEPLOYMENT shape: `append`-mode parquet file sink. Only windows the
@@ -94,10 +112,12 @@ object EventWindows {
     * restricted to closed windows.
     */
   def runAppendToDir(spark: SparkSession, eventsParquet: String,
-      outDir: String, checkpoint: String = ""): DataFrame = {
+      outDir: String, checkpoint: String = "",
+      statePartitions: Int = DefaultStatePartitions): DataFrame = {
+    val ss = streamSession(spark, statePartitions)
     val src = stageSource(eventsParquet)
-    val schema = spark.read.parquet(src).schema
-    val stream = spark.readStream.schema(schema).parquet(src)
+    val schema = ss.read.parquet(src).schema
+    val stream = ss.readStream.schema(schema).parquet(src)
     val agg = windowedCounts(stream)
     val q = agg.writeStream
       .outputMode("append")
