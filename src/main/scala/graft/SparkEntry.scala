@@ -84,6 +84,21 @@ object IndexCache {
         docs.filter(col("doc_id") % 3 === 0), "doc_id", root)
     })
 
+  /** Compressed block table of the PERSISTED gate index — built through
+    * `IndexCatalog.buildBlocks` (resumable stage, manifest-keyed) and read
+    * back from parquet, NOT the in-memory block cache: puts the persisted
+    * block/WAND machinery under the external oracle.
+    */
+  private val persistBlockCache =
+    TrieMap.empty[String, (org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long)]
+  def blocksPersisted(spark: SparkSession, dir: String): (org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long) =
+    persistBlockCache.getOrElseUpdate(dir, {
+      documentsPersisted(spark, dir) // ensure the index exists first
+      val root = s"/tmp/graft_gate_idx_${sanitize(dir)}"
+      graft.index.IndexCatalog.buildBlocks(spark, root)
+      graft.index.IndexCatalog.readBlocks(spark, root)
+    })
+
   /** Persisted ANN index over the embeddings (bucket-partitioned sign-LSH
     * assignment, [[graft.index.VectorIndex]]); returns its root.
     */
@@ -562,6 +577,21 @@ object SparkEntry {
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
         .orderBy("doc_id")),
 
+    // block-max WAND over the PERSISTED block table (IndexCatalog
+    // buildBlocks stage + readBlocks, parquet round trip) against the
+    // persisted index — the full deployment-shape WAND stack under the
+    // gate; q24 is the same query over the in-memory caches, so the same
+    // exhaustive oracle applies (pruning is lossless)
+    "q37_wand_persisted" -> ((s, dir) => {
+      val idx = IndexCache.documentsPersisted(s, dir)
+      val (blocks, bs) = IndexCache.blocksPersisted(s, dir)
+      graft.query.BlockMaxTopK.query(idx, blocks, "spar merge", BM25(),
+        k = 200, blockSize = bs)
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // the PERSISTED ANN index: same hash family / multiprobe set / exact
     // cosine as q22, but served from the bucket-partitioned VectorIndex —
     // the probe scan reads only the ≤9 probe-bucket partitions (pruning
@@ -652,6 +682,11 @@ object SparkEntry {
     // WAND pruning is lossless, so the exhaustive BM25 top-k is the oracle;
     // tie-stable cut: order by (micro score desc, doc_id asc) on both sides
     "q24_wand" -> bm25Sql(Seq("spar", "merge"), "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20"),
+
+    // same oracle for the persisted-block variant (same query, same
+    // lossless pruning — only the storage path differs)
+    "q37_wand_persisted" -> bm25Sql(Seq("spar", "merge"), "",
       finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20"),
 
     // zero-to-one under the prefix-disjoint reduction (see the q09 query
