@@ -22,8 +22,14 @@ object WandCrossover {
   def main(args: Array[String]): Unit = {
     val files = if (args.nonEmpty) args(0).toLong else 1600000L
     val reps = if (args.length > 1) args(1).toInt else 5
+    // "skew" mode: same corpus with a DETERMINISTIC tf-skew overlay —
+    // every 50th-cycle doc gets up to 49·4 extra "import" occurrences, so
+    // per-block maxTf varies by ~200× instead of being flat. This is the
+    // distribution real corpora have and block-max metadata exploits; the
+    // uniform synthetic corpus is pruning's worst case.
+    val skew = args.length > 2 && args(2) == "skew"
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val root = s"/tmp/graft_xover_$files"
+    val root = s"/tmp/graft_xover_${if (skew) "skew_" else ""}$files"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -34,7 +40,14 @@ object WandCrossover {
 
     val idx = try IndexCatalog.read(spark, root) catch {
       case _: IllegalArgumentException | _: org.apache.spark.sql.AnalysisException =>
-        Bench.runBuild(spark, files, root); IndexCatalog.read(spark, root)
+        if (!skew) Bench.runBuild(spark, files, root)
+        else {
+          val src = spark.read.parquet(Bench.corpusTable(spark, files))
+            .withColumn("content", org.apache.spark.sql.functions.expr(
+              "concat(content, repeat(' import', int(doc_id % 50) * 4))"))
+          IndexCatalog.build(src, "doc_id", Seq("content", "path"), root)
+        }
+        IndexCatalog.read(spark, root)
     }
     IndexCatalog.buildBlocks(spark, root)
     val (blocksRaw, bs) = IndexCatalog.readBlocks(spark, root)
