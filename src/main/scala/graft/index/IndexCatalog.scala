@@ -195,6 +195,13 @@ object IndexCatalog {
       statsHint = Some(FieldStats(n, sums, sums.map(_.toDouble / n.toDouble))))
   }
 
+  /** Block-table format version; bumped when the [[PostingBlocks.Block]]
+    * schema changes (v2: per-field `min_fl` metadata for the tight BM25
+    * bound). Stale-format persisted blocks are rebuilt by [[buildBlocks]]
+    * and refused by [[readBlocks]].
+    */
+  val BlockFormat = "2"
+
   /** Optional compressed-block stage (resumable like the rest): posting
     * blocks with block-max metadata for [[graft.query.BlockMaxTopK]],
     * bucket-partitioned like the postings.
@@ -203,7 +210,13 @@ object IndexCatalog {
       blockSize: Long = PostingBlocks.DefaultBlockSize): Unit = {
     var m = readManifest(spark, root)
     require(m.getOrElse("published", "") == "true", s"no published index at $root")
-    if (m.contains("stage.blocks.rows")) return
+    if (m.contains("stage.blocks.rows")) {
+      if (m.getOrElse("config.blockFormat", "1") == BlockFormat) return
+      // stale on-disk format: drop and rebuild
+      fs(spark, root).delete(new Path(s"$root/blocks"), true)
+      m = m - "stage.blocks.rows" - "stage.blocks.secs"
+      writeManifest(spark, root, m)
+    }
     val nf = m("config.numFields").toInt
     val nb = m("config.nBuckets").toInt
     m = stage(spark, root, "blocks", m, partitionBy = Seq("bucket")) {
@@ -212,7 +225,8 @@ object IndexCatalog {
         .repartition(nb, col("bucket"))
         .sortWithinPartitions(col("term"), col("block_id"))
     }
-    writeManifest(spark, root, m + ("config.blockSize" -> blockSize.toString))
+    writeManifest(spark, root, m + ("config.blockSize" -> blockSize.toString) +
+      ("config.blockFormat" -> BlockFormat))
   }
 
   def readBlocks(spark: SparkSession, root: String): (org.apache.spark.sql.Dataset[PostingBlocks.Block], Long) = {
@@ -222,6 +236,9 @@ object IndexCatalog {
     // dir without the key must not be served
     require(m.contains("stage.blocks.rows"),
       s"no current block stage at $root — run buildBlocks after build/vacuum/append")
+    require(m.getOrElse("config.blockFormat", "1") == BlockFormat,
+      s"block table at $root has format ${m.getOrElse("config.blockFormat", "1")}, " +
+        s"engine expects $BlockFormat — re-run buildBlocks")
     val bs = m.getOrElse("config.blockSize", PostingBlocks.DefaultBlockSize.toString).toLong
     (spark.read.parquet(s"$root/blocks").drop("bucket").as[PostingBlocks.Block], bs)
   }

@@ -20,10 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object PostingBlocks {
 
+  /** `max_tf(x)` / `min_fl(x)` are the per-field block-max metadata:
+    * max term frequency over the block's entries, and min field length over
+    * entries whose tf(x) > 0 (0 when no entry matches in field x). Because
+    * the BM25 tf-norm is increasing in tf and decreasing in fl, the pair
+    * bounds every entry's field contribution: tfn(tf_e, fl_e) ≤
+    * tfn(max_tf, min_fl) for tf_e > 0, and = 0 otherwise — a strictly
+    * tighter (and still sound) bound than the fl-free tfn⁺ limit.
+    */
   final case class Block(
       term: String, block_id: Long, cnt: Int, min_doc: Long, max_doc: Long,
-      max_tf: Seq[Int], docs_z: Array[Byte], tfs_z: Array[Byte],
-      fls_z: Array[Byte])
+      max_tf: Seq[Int], min_fl: Seq[Int], docs_z: Array[Byte],
+      tfs_z: Array[Byte], fls_z: Array[Byte])
 
   final case class Decoded(term: String, doc_id: Long, tf: Seq[Int],
       fl: Seq[Int], occ: Int)
@@ -59,6 +67,7 @@ object PostingBlocks {
     val tfs = new ByteArrayOutputStream()
     val fls = new ByteArrayOutputStream()
     val maxTf = Array.fill(nf)(0)
+    val minFl = Array.fill(nf)(Int.MaxValue)
     var prev = blockId * blockSize
     entries.foreach { case (d, tf, fl) =>
       writeVarint(docs, d - prev); prev = d
@@ -66,11 +75,17 @@ object PostingBlocks {
       while (x < nf) {
         writeVarint(tfs, tf(x).toLong); writeVarint(fls, fl(x).toLong)
         if (tf(x) > maxTf(x)) maxTf(x) = tf(x)
+        // min fl over MATCHING entries only (tf=0 entries score 0 in this
+        // field and must not tighten its bound)
+        if (tf(x) > 0 && fl(x) < minFl(x)) minFl(x) = fl(x)
         x += 1
       }
     }
+    var x = 0
+    while (x < nf) { if (minFl(x) == Int.MaxValue) minFl(x) = 0; x += 1 }
     Block(term, blockId, entries.size, entries.head._1, entries.last._1,
-      maxTf.toSeq, docs.toByteArray, tfs.toByteArray, fls.toByteArray)
+      maxTf.toSeq, minFl.toSeq, docs.toByteArray, tfs.toByteArray,
+      fls.toByteArray)
   }
 
   def decode(b: Block, blockSize: Long, nf: Int): Iterator[Decoded] = {

@@ -102,7 +102,7 @@ object BlockMaxTopK {
 
     // ---- block metadata → per-range upper bounds ----
     val meta = blocks.toDF().filter(col("term").isin(eterms: _*))
-      .select(col("term"), col("block_id"), col("max_tf"))
+      .select(col("term"), col("block_id"), col("max_tf"), col("min_fl"))
       .join(broadcast(expWithCols), col("term") === col("exp_term"))
       .select(col("block_id"), col("qti"), ubCol.as("ub"))
     val rangeUb = meta

@@ -53,16 +53,29 @@ final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends ScoreModel {
     exp.withColumn("idf", idf).withColumn("eboost", eboost)
   }
 
-  /** Per-expansion block bound: `tfn⁺(t) = (k1+1)·t/(k1·(1−b)+t)` dominates
-    * the tf-norm for ANY field length/average (denominator lower bound at
-    * fl=0), so Σ_x boost_x·tfn⁺(maxTf_x) · idf · eboost ≥ any doc's term
-    * score in the block. Requires non-negative boosts (the caller guards).
+  /** Per-expansion block bound over (max_tf, min_fl) metadata: the tf-norm
+    * `tfn(t, l) = (k1+1)·t / (k1·((1−b) + b·l/avg) + t)` is increasing in t
+    * and decreasing in l, so `tfn(maxTf_x, minFl_x)` dominates every
+    * matching entry's field-x norm (min_fl is taken over tf>0 entries
+    * only — see [[graft.index.PostingBlocks.Block]]); tf=0 entries
+    * contribute 0. Hence Σ_x boost_x·tfn(maxTf_x, minFl_x) · idf · eboost ≥
+    * any doc's term score in the block. Strictly tighter than the fl-free
+    * `tfn⁺` limit (which is the l→0 edge of the same expression) — under
+    * length-skewed corpora the fl-free bound chases blocks whose real
+    * length-normalized scores are mediocre (measured, BENCH.md round-3
+    * skew experiment). Requires non-negative boosts (the caller guards).
     */
   override def blockUpperBound(stats: FieldStats, boosts: Seq[Double],
       qlenRaw: Int, numFields: Int): Option[Column] = {
     val perField = (0 until numFields).map { x =>
       val tf = element_at(col("max_tf"), x + 1).cast("double")
-      (lit(k1 + 1.0) * tf) / (lit(k1) * lit(1.0 - b) + tf) * lit(boosts(x))
+      val fl = element_at(col("min_fl"), x + 1).cast("double")
+      // an all-empty field (avg 0) has maxTf 0 everywhere; fall back to the
+      // fl-free norm floor rather than dividing by zero into NaN bounds
+      val norm =
+        if (stats.avgs(x) == 0.0) lit(1.0 - b)
+        else lit(1.0 - b) + lit(b) * (fl / lit(stats.avgs(x)))
+      (lit(k1 + 1.0) * tf) / (lit(k1) * norm + tf) * lit(boosts(x))
     }
     Some(perField.reduce(_ + _) * col("idf") * col("eboost"))
   }

@@ -40,7 +40,7 @@ trait ScoreModel {
 
   /** Block-max pruning hook ([[graft.query.BlockMaxTopK]]): an upper bound
     * on the PER-EXPANSION term score of any document in a posting block,
-    * as a column over (block metadata `max_tf: array<int>` ⋈ this model's
+    * as a column over (block metadata `max_tf`/`min_fl: array<int>` ⋈ this model's
     * [[expansionColumns]] output). The engine takes max over a query
     * term's expansions and sums across query terms — mirroring the merge
     * rule — so the per-expansion bound only has to dominate a single

@@ -55,6 +55,12 @@ class VarintSpec extends AnyFunSuite {
       assert(back.map(d => (d.doc_id, d.tf, d.fl)) == entries)
       assert(back.forall(d => d.occ == d.tf.sum))
       assert(b.max_tf == Seq(entries.map(_._2(0)).max, entries.map(_._2(1)).max))
+      // min_fl per field = min fl over MATCHING entries (tf>0), else 0
+      val wantMinFl = (0 until 2).map { x =>
+        val m = entries.filter(_._2(x) > 0).map(_._3(x))
+        if (m.isEmpty) 0 else m.min
+      }
+      assert(b.min_fl == wantMinFl)
       assert(b.min_doc == entries.head._1 && b.max_doc == entries.last._1)
     }
   }
