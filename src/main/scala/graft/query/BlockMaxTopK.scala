@@ -129,4 +129,61 @@ object BlockMaxTopK {
       idx.numFields, blockSize)
     QueryEngine.scoreCandidates(idx, cand, expDf, model, fb, raw.length, k)
   }
+
+  /** NOISE-FREE pruning diagnostics: re-runs phases 1–2 of [[query]] for
+    * the same inputs and reports `(totalRanges, survivingRanges, theta)` —
+    * the algorithmic effect of a bound change, independent of host timing
+    * noise (this VM swings 5×). None when the query would fall back to the
+    * exhaustive path.
+    */
+  def pruningStats(idx: InvertedIndex, blocks: Dataset[PostingBlocks.Block],
+      queryString: String, model: ScoreModel, boosts: Seq[Double] = Nil,
+      k: Int = 10, blockSize: Long = PostingBlocks.DefaultBlockSize,
+      probeBlocks: Int = 8, maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): Option[(Long, Long, Double)] = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
+    if (idx.hasTombstones || fb.exists(_ < 0)) return None
+    val raw = tokenizer(queryString)
+    val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
+    if (qterms.isEmpty) return None
+    val prefixPred = qterms.map { case (_, t) => col("term").startsWith(lit(t)) }.reduce(_ || _)
+    val qdf = qterms.toSeq.toDF("qti", "qterm")
+    val collected = idx.termdict.filter(prefixPred)
+      .join(broadcast(qdf), col("term").startsWith(col("qterm")))
+      .select(col("qti"), col("qterm"), col("term").as("exp_term"),
+        col("df").cast("long").as("df"))
+      .limit(maxCollectedExpansions + 1).collect()
+    if (collected.isEmpty || collected.length > maxCollectedExpansions) return None
+    val expDf = collected.toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toDF("qti", "qterm", "exp_term", "df")
+    val stats = idx.fieldStats()
+    val expWithCols = model.expansionColumns(expDf, stats)
+    val ubCol = model.blockUpperBound(stats, fb, raw.length, idx.numFields)
+      .getOrElse(return None)
+    val eterms = collected.map(_.getString(2)).distinct.toSeq
+    val meta = blocks.toDF().filter(col("term").isin(eterms: _*))
+      .select(col("term"), col("block_id"), col("max_tf"), col("min_fl"))
+      .join(broadcast(expWithCols), col("term") === col("exp_term"))
+      .select(col("block_id"), col("qti"), ubCol.as("ub"))
+    val rangeUb = meta
+      .groupBy(col("block_id"), col("qti")).agg(max(col("ub")).as("mub"))
+      .groupBy(col("block_id")).agg(sum(col("mub")).as("ub"))
+      .cache()
+    val total = rangeUb.count()
+    val probeIds = rangeUb.orderBy(col("ub").desc, col("block_id").asc)
+      .limit(probeBlocks).select("block_id").collect().map(_.getLong(0)).toSeq
+    val probeCand = PostingBlocks.toPostings(
+      blocks.toDF().filter(col("term").isin(eterms: _*) &&
+        col("block_id").isin(probeIds: _*)),
+      idx.numFields, blockSize)
+    val probed = QueryEngine.scoreCandidates(
+      idx, probeCand, expDf, model, fb, raw.length, k).collect()
+    val theta = if (probed.length >= k) probed(k - 1).getDouble(1) else Double.NegativeInfinity
+    val survivors = rangeUb.filter(col("ub") >= theta).count()
+    rangeUb.unpersist()
+    Some((total, survivors, theta))
+  }
 }

@@ -22,14 +22,23 @@ object WandCrossover {
   def main(args: Array[String]): Unit = {
     val files = if (args.nonEmpty) args(0).toLong else 1600000L
     val reps = if (args.length > 1) args(1).toInt else 5
-    // "skew" mode: same corpus with a DETERMINISTIC tf-skew overlay —
-    // every 50th-cycle doc gets up to 49·4 extra "import" occurrences, so
-    // per-block maxTf varies by ~200× instead of being flat. This is the
-    // distribution real corpora have and block-max metadata exploits; the
-    // uniform synthetic corpus is pruning's worst case.
-    val skew = args.length > 2 && args(2) == "skew"
+    // corpus modes:
+    //  - "uniform" (default): the standard bench corpus. Measured result:
+    //    NO sound bound can prune here — every 4096-doc range of a uniform
+    //    corpus contains a near-top doc, so every range's true max ≥ θ
+    //    (pruning stats show survivors == ranges for both bounds).
+    //  - "skew": tf inflation by APPENDING tokens (rejected — inflates fl
+    //    with tf, loosening the fl-free bound; kept for reproducibility).
+    //  - "cluster": tf high in every 10th doc-id RANGE by REPLACING the
+    //    first 20 tokens with `import` (fl preserved) — the doc-id-
+    //    correlated score clustering real corpora get from ingestion
+    //    order / doc-id assignment, which is what block-max pruning
+    //    actually exploits.
+    val mode = if (args.length > 2) args(2) else "uniform"
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val root = s"/tmp/graft_xover_${if (skew) "skew_" else ""}$files"
+    val root =
+      if (mode == "uniform") s"/tmp/graft_xover_$files"
+      else s"/tmp/graft_xover_${mode}_$files"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -40,12 +49,22 @@ object WandCrossover {
 
     val idx = try IndexCatalog.read(spark, root) catch {
       case _: IllegalArgumentException | _: org.apache.spark.sql.AnalysisException =>
-        if (!skew) Bench.runBuild(spark, files, root)
-        else {
-          val src = spark.read.parquet(Bench.corpusTable(spark, files))
-            .withColumn("content", org.apache.spark.sql.functions.expr(
-              "concat(content, repeat(' import', int(doc_id % 50) * 4))"))
-          IndexCatalog.build(src, "doc_id", Seq("content", "path"), root)
+        mode match {
+          case "uniform" => Bench.runBuild(spark, files, root)
+          case "skew" =>
+            val src = spark.read.parquet(Bench.corpusTable(spark, files))
+              .withColumn("content", org.apache.spark.sql.functions.expr(
+                "concat(content, repeat(' import', int(doc_id % 50) * 4))"))
+            IndexCatalog.build(src, "doc_id", Seq("content", "path"), root)
+          case "cluster" =>
+            val src = spark.read.parquet(Bench.corpusTable(spark, files))
+              .withColumn("content", org.apache.spark.sql.functions.expr(
+                """CASE WHEN (doc_id DIV 4096) % 10 = 0
+                  |THEN concat(repeat('import ', 20),
+                  |            array_join(slice(split(content, ' '), 21, 1000000), ' '))
+                  |ELSE content END""".stripMargin))
+            IndexCatalog.build(src, "doc_id", Seq("content", "path"), root)
+          case other => sys.error(s"unknown mode '$other' (uniform|skew|cluster)")
         }
         IndexCatalog.read(spark, root)
     }
@@ -57,6 +76,27 @@ object WandCrossover {
     // hot → narrow: "import" appears in essentially every synthetic file
     // (the worst case for exhaustive decode), the others mix hot/narrow
     val queries = Seq("import", "fn match ident1", "val return ident42", "Modu", "ident7")
+
+    // NOISE-FREE bound comparison: surviving-range counts under the tight
+    // (max_tf, min_fl) bound vs the old fl-free tfn⁺ bound — the
+    // algorithmic effect of the bound, independent of host timing swings
+    val tight = BM25()
+    val loose = new graft.score.ScoreModel {
+      import org.apache.spark.sql.{Column, DataFrame}
+      import org.apache.spark.sql.functions.{col, element_at, lit}
+      def expansionColumns(e: DataFrame, s: graft.index.FieldStats): DataFrame =
+        tight.expansionColumns(e, s)
+      def score(j: DataFrame, s: graft.index.FieldStats, b: Seq[Double],
+          q: Int, n: Int): DataFrame = tight.score(j, s, b, q, n)
+      override def blockUpperBound(stats: graft.index.FieldStats,
+          boosts: Seq[Double], qlenRaw: Int, numFields: Int): Option[Column] = {
+        val perField = (0 until numFields).map { x =>
+          val tf = element_at(col("max_tf"), x + 1).cast("double")
+          (lit(2.2) * tf) / (lit(1.2 * 0.25) + tf) * lit(boosts(x))
+        }
+        Some(perField.reduce(_ + _) * col("idf") * col("eboost"))
+      }
+    }
 
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     val rows = queries.map { q =>
@@ -74,9 +114,18 @@ object WandCrossover {
         (System.nanoTime() - t0) / 1e9
       }
       val (em, wm) = (median(ex), median(wd))
+      val pTight = graft.query.BlockMaxTopK
+        .pruningStats(idx, blocks, q, tight, k = 10, blockSize = bs)
+      val pLoose = graft.query.BlockMaxTopK
+        .pruningStats(idx, blocks, q, loose, k = 10, blockSize = bs)
+      def pj(p: Option[(Long, Long, Double)]): String = p match {
+        case Some((t, s, _)) => s"""{"ranges":$t,"survive":$s}"""
+        case None => "null"
+      }
       f""""$q":{"exhaustive_p50":$em%.3f,"wand_p50":$wm%.3f,"speedup":${em / wm}%.2f,""" +
         f""""exhaustive_samples":[${ex.map(t => f"$t%.2f").mkString(",")}],""" +
-        f""""wand_samples":[${wd.map(t => f"$t%.2f").mkString(",")}]}"""
+        f""""wand_samples":[${wd.map(t => f"$t%.2f").mkString(",")}],""" +
+        s""""prune_tight":${pj(pTight)},"prune_flfree":${pj(pLoose)}}"""
     }
     println(s"""{"files":$files,"cores":$cores,"reps":$reps,"queries":{${rows.mkString(",")}}}""")
     spark.stop()
