@@ -27,6 +27,19 @@ object DocIdMint {
   def mint(df: DataFrame): DataFrame =
     df.withColumn("doc_id", monotonically_increasing_id())
 
+  /** Mint ids in a chosen GLOBAL order — the impact-ordering lever:
+    * sorting the corpus by a score-correlated key (source tier, quality
+    * score, recency) before minting makes doc-id ranges score-clustered,
+    * which is precisely the property that lets block-max WAND prune
+    * (measured: 391→40 surviving ranges and a 5.7× hot-term win on a
+    * range-clustered corpus vs ZERO pruning on a uniform one — BENCH.md
+    * round-3 cluster experiment). `monotonically_increasing_id` after a
+    * range-partitioned sort preserves the global order across partitions
+    * (partition-prefixed counters: ids are ordered, not contiguous).
+    */
+  def mintOrdered(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    mint(df.orderBy(orderCols: _*))
+
   /** The (natural key → doc_id) mapping table of a minted DataFrame. */
   def mapping(minted: DataFrame, keyCols: Seq[String]): DataFrame =
     minted.select((keyCols :+ "doc_id").map(col): _*)

@@ -28,6 +28,19 @@ class DocIdMintSpec extends AnyFunSuite {
       .exceptAll(minted.select((keys :+ "sha").map(col): _*)).count() == 0)
   }
 
+  test("mintOrdered preserves the impact order in the id assignment") {
+    val src = SourceCodeGen.generate(spark, 400).drop("doc_id")
+      .withColumn("quality", pmod(xxhash64(col("path")), lit(100)))
+      .repartition(7)
+    val minted = DocIdMint.mintOrdered(src, Seq(col("quality").desc, col("path")))
+      .select("doc_id", "quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // ids ascending ⇒ quality non-increasing: score-correlated keys land in
+    // contiguous doc-id ranges (what block-max pruning needs)
+    assert(minted.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+    assert(minted.map(_._1).distinct.length == minted.length)
+  }
+
   test("remint keeps known ids and mints collision-free ids for new keys") {
     val src = SourceCodeGen.generate(spark, 300).drop("doc_id")
     val dir = java.nio.file.Files.createTempDirectory("graft_remint_").toString
