@@ -83,6 +83,34 @@ class BlockMaxSpec extends TestBase {
     idx.unpersist(); blocks.unpersist()
   }
 
+  test("pruning FIRES on a range-clustered corpus and stays lossless") {
+    // The round-3 lesson: uniform corpora cannot be pruned by any sound
+    // bound (every range holds a near-top doc), so parity tests alone may
+    // only cover the no-op prune. This corpus clusters tf by doc-id range
+    // WITHOUT varying fl — pruningStats must show real range skipping,
+    // and the pruned result must still equal exhaustive.
+    import spark.implicits._
+    val docs = (0L until 256L).map { i =>
+      val toks =
+        if (i < 8) Seq.fill(10)("hot") ++ Seq.fill(2)("pad")   // range 0
+        else "hot" +: Seq.fill(11)("pad")                       // fl constant
+      (i, toks.mkString(" "))
+    }
+    val idx = IndexBuilder.build(docs.toDF("id", "title"), "id", Seq("title")).cached()
+    val blocks = PostingBlocks.fromPostings(idx.postings, 1, blockSize = 8).cache()
+    val Some((total, survive, theta)) = graft.query.BlockMaxTopK
+      .pruningStats(idx, blocks, "hot", BM25(), k = 5, blockSize = 8)
+    assert(total == 32, s"expected 32 ranges, got $total")
+    assert(survive < total, s"no pruning on the clustered corpus ($survive/$total)")
+    assert(theta > 0)
+    val exact = QueryEngine.query(idx, "hot", BM25(), limit = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wand = BlockMaxTopK.query(idx, blocks, "hot", BM25(), k = 5, blockSize = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wand == exact && wand.nonEmpty)
+    idx.unpersist(); blocks.unpersist()
+  }
+
   test("negative field boost falls back to the exhaustive path (UB unsound)") {
     val src = SourceCodeGen.generate(spark, 500)
     val idx = IndexBuilder.build(src, "doc_id", Seq("content", "path")).cached()
