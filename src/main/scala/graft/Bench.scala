@@ -138,31 +138,39 @@ object Bench {
     val reps = 3
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val errors = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      // per-rep cache scope: the pipeline operators' persists are released
-      // once the rep's result is consumed, so reps don't stack pinned
-      // storage (index caches in IndexCache intentionally survive — the
-      // build-once-query-many deployment shape, paid by rep 1)
-      try graft.pipeline.CacheScope.withScope { scope =>
-        // default-scope calls inside the contract land in the global
-        // scope; flush it with the rep as well
-        fn(spark, sfDir).count()
-        graft.pipeline.CacheScope.releaseGlobal()
-      }
-      catch { case scala.util.control.NonFatal(_) => () }
+      // the contract queries use the pipeline operators' default (global)
+      // cache scope; flush it per rep — in a finally, so a throwing query
+      // cannot leak its persists into every subsequent rep's storage
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          errors(name) = e.getClass.getSimpleName; false }
+        finally graft.pipeline.CacheScope.releaseGlobal()
       val secs = (System.nanoTime() - t0) / 1e9
-      samples(name) = samples.getOrElse(name, Nil) :+ secs
+      // a failed rep's time-to-failure is NOT a latency sample
+      if (ok) samples(name) = samples.getOrElse(name, Nil) :+ secs
     }
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
-    val medians = names.map(n => n -> median(samples(n)))
+    // a query with zero successful reps reports -1 and is listed in
+    // query_errors — failure must be visible in the artifact, not a
+    // plausible-looking number
+    val medians = names.map(n =>
+      n -> samples.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0))
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsCold = names.map(n => "\"" + n + "\":" + samples(n).head)
+    def firstOr(n: String): Double =
+      samples.get(n).flatMap(_.headOption).getOrElse(-1.0)
+    val qsCold = names.map(n => "\"" + n + "\":" + firstOr(n))
       .mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
-    val totalCold = names.map(n => samples(n).head).sum
+    val errsJson = errors.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    val totalCold = names.map(firstOr).filter(_ >= 0).sum
 
     // the contract queries above leave cached index tables behind; drop
     // them so the build metric measures the build, not GC pressure from
@@ -182,6 +190,7 @@ object Bench {
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""query_reps":$reps,"queries_cold":$qsCold,"total_cold":$totalCold,""" +
+      s""""query_errors":$errsJson,""" +
       s""""build_files":$files,"build_secs":$buildSecs,""" +
       s""""build_samples_secs":[${buildSamples.mkString(",")}],""" +
       s""""build_files_per_sec":$fps,""" +

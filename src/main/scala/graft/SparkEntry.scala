@@ -84,6 +84,57 @@ object IndexCache {
         docs.filter(col("doc_id") % 3 === 0), "doc_id", root)
     })
 
+  /** The full persisted MUTATION LIFECYCLE under the gate: build on the
+    * whole corpus, tombstone a predicate-derived doc set (DataFrame-native
+    * — no removal id ever transits the driver), `vacuum` (stage-atomic
+    * compaction rewrite), rebuild the block table over the compacted
+    * postings, and serve WAND from it. The oracle is BM25 over the corpus
+    * WITH the same predicate filter, so any vacuum artifact (resurrected
+    * posting, stale df/stats, stale block) breaks the hash.
+    */
+  private val vacCache = TrieMap.empty[String,
+    (InvertedIndex, org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long)]
+  def documentsVacuumed(spark: SparkSession, dir: String): (InvertedIndex, org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long) =
+    vacCache.getOrElseUpdate(dir, {
+      val root = s"/tmp/graft_gate_vac_${sanitize(dir)}"
+      wipe(spark, root)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.index.IndexCatalog.build(docs, "doc_id", Seq("text"), root)
+      graft.index.IndexCatalog.removeDocuments(root,
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
+      graft.index.IndexCatalog.vacuum(spark, root)
+      graft.index.IndexCatalog.buildBlocks(spark, root)
+      val idx = graft.index.IndexCatalog.read(spark, root)
+      val (blocks, bs) = graft.index.IndexCatalog.readBlocks(spark, root)
+      (idx, blocks, bs)
+    })
+
+  /** Streaming ingestion under the gate: a quarter of the corpus seeds the
+    * persisted index, the rest arrives as a file STREAM (one micro-batch
+    * per file via maxFilesPerTrigger) through [[graft.streaming.StreamingIndexer]]
+    * — each batch one crash-safe incremental append. The oracle is the
+    * FULL corpus, so a dropped/duplicated batch breaks the hash.
+    */
+  private val streamCache = TrieMap.empty[String, InvertedIndex]
+  def documentsStreamed(spark: SparkSession, dir: String): InvertedIndex =
+    streamCache.getOrElseUpdate(dir, {
+      val root = s"/tmp/graft_gate_str_${sanitize(dir)}"
+      wipe(spark, root)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val idxRoot = s"$root/idx"
+      graft.index.IndexCatalog.build(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", Seq("text"), idxRoot)
+      val srcDir = s"$root/src"
+      docs.filter(col("doc_id") % 4 =!= 0).repartition(3).write.parquet(srcDir)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = graft.streaming.StreamingIndexer.start(
+        stream, "doc_id", idxRoot, s"$root/ckpt")
+      q.awaitTermination()
+      graft.index.IndexCatalog.read(spark, idxRoot)
+    })
+
   /** Compressed block table of the PERSISTED gate index — built through
     * `IndexCatalog.buildBlocks` (resumable stage, manifest-keyed) and read
     * back from parquet, NOT the in-memory block cache: puts the persisted
@@ -605,7 +656,57 @@ object SparkEntry {
         .select(col("vec_id"), micro(col("cos")).as("cos_micro"))
         .orderBy(col("cos_micro").desc, col("vec_id").asc)
         .limit(20)
-    })
+    }),
+
+    // the persisted delete → vacuum → rebuilt-blocks → WAND lifecycle
+    // under the gate (round-3 verdict #1): tombstones are a DataFrame
+    // end-to-end (IndexCatalog.removeDocuments(root, ids: DataFrame)),
+    // vacuum compacts + rewrites termdict/fieldstats, buildBlocks runs
+    // over the COMPACTED postings, and the query answers through the
+    // persisted WAND stack. Oracle = exhaustive BM25 over the filtered
+    // corpus with the q24-style tie-stable top-20 cut.
+    "q38_bm25_vacuum" -> ((s, dir) => {
+      val (idx, blocks, bs) = IndexCache.documentsVacuumed(s, dir)
+      graft.query.BlockMaxTopK.query(idx, blocks, "spar table", BM25(),
+        k = 200, blockSize = bs)
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // streaming ingestion under the gate: three micro-batches of appends
+    // through StreamingIndexer (readStream → foreachBatch → crash-safe
+    // addDocuments), then a prefix query over the persisted result;
+    // oracle = full-corpus BM25
+    "q39_bm25_streamed" -> ((s, dir) =>
+      QueryEngine.query(IndexCache.documentsStreamed(s, dir), "merge s",
+        BM25())
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy("doc_id")),
+
+    // the UNBOUNDED-expansion fallback plan under the gate: with
+    // maxCollectedExpansions=1 the "s" prefix (6 expansions) overflows the
+    // collect cap, so the posting scan runs the non-collected
+    // `startsWith`-predicate plan (QueryEngine's DataFrame fallback, the
+    // reference's unbounded expand_term semantics) — over the PERSISTED
+    // index, where that plan cannot partition-prune. Same scores as the
+    // collected plan by construction; oracle = the same SQL pipeline.
+    "q40_bm25_scanexp" -> ((s, dir) =>
+      QueryEngine.query(IndexCache.documentsPersisted(s, dir), "s merge",
+        BM25(), maxCollectedExpansions = 1)
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy("doc_id")),
+
+    // the PRODUCTION-CAPPED cosine near-dup path (q31 disables the
+    // hot-bucket cap for its oracle; here the cap is ENGAGED and binding —
+    // sf0.01 has buckets of size 7..10 — and the oracle applies the same
+    // per-bucket rule: only buckets with 2..6 members generate pairs)
+    "q41_cos_neardup_capped" -> ((s, dir) =>
+      Similarity.cosineNearDups(emb(s, dir), "vec_id", "embedding", 64, 8,
+        minCos = -1.0, maxBucket = 6)
+        .select(col("id_a"), col("id_b"), micro(col("cos")).as("cos_micro"))
+        .filter(col("cos_micro") >= 200000L)
+        .orderBy("id_a", "id_b"))
   )
 
   // ---------- oracles (DuckDB SQL over the same parquet tables) ----------
@@ -688,6 +789,21 @@ object SparkEntry {
     // lossless pruning — only the storage path differs)
     "q37_wand_persisted" -> bm25Sql(Seq("spar", "merge"), "",
       finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20"),
+
+    // persisted delete+vacuum+rebuilt-blocks lifecycle: the vacuumed index
+    // must be indistinguishable from an index built on the filtered corpus
+    // (q08 proved that equivalence for the in-memory path; this gates the
+    // stage-atomic persisted rewrite), WAND cut tie-stable as in q24
+    "q38_bm25_vacuum" -> bm25Sql(Seq("spar", "table"), "WHERE doc_id % 5 <> 0",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20"),
+
+    // streamed appends must be invisible: oracle = BM25 over the FULL
+    // corpus in one pass (the q34 pattern, arriving via three micro-batches)
+    "q39_bm25_streamed" -> bm25Sql(Seq("merge", "s"), ""),
+
+    // the startsWith-scan fallback computes the same scores as the
+    // collected plan — same SQL pipeline
+    "q40_bm25_scanexp" -> bm25Sql(Seq("s", "merge"), ""),
 
     // zero-to-one under the prefix-disjoint reduction (see the q09 query
     // comment): per (doc, qti) the max-score entry consumes, tiebreak
@@ -819,6 +935,31 @@ object SparkEntry {
         |         FROM embeddings e, hp GROUP BY e.vec_id, hp.b),
         |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id),
         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |parts AS (SELECT p.id_a, p.id_b,
+        |    sum(CAST(ea.embedding[g.i] AS DOUBLE) * CAST(eb.embedding[g.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(ea.embedding[g.i] AS DOUBLE) * CAST(ea.embedding[g.i] AS DOUBLE)) AS na,
+        |    sum(CAST(eb.embedding[g.i] AS DOUBLE) * CAST(eb.embedding[g.i] AS DOUBLE)) AS nb
+        |  FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
+        |  JOIN embeddings eb ON eb.vec_id = p.id_b, generate_series(1, 64) g(i)
+        |  GROUP BY p.id_a, p.id_b)
+        |SELECT * FROM (
+        |  SELECT id_a, id_b, CAST(round((dot / (sqrt(na) * sqrt(nb))) * 1000000.0) AS BIGINT) AS cos_micro
+        |  FROM parts)
+        |WHERE cos_micro >= 200000 ORDER BY id_a, id_b""".stripMargin,
+
+    // q31 with the hot-bucket cap ENGAGED: only buckets holding 2..6
+    // vectors generate candidate pairs — the same per-bucket rule
+    // cosineNearDups applies (bsz >= 2 AND bsz <= maxBucket)
+    "q41_cos_neardup_capped" ->
+      """WITH hp AS (SELECT gb.b AS b, gi.i AS i,
+        |    CASE WHEN (CAST(('0x' || substr(md5('hp:' || CAST(gb.b AS VARCHAR) || ':' || CAST(gi.i AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 7) gb(b), generate_series(0, 63) gi(i)),
+        |proj AS (SELECT e.vec_id, hp.b, sum(CAST(e.embedding[hp.i + 1] AS DOUBLE) * hp.s) AS p
+        |         FROM embeddings e, hp GROUP BY e.vec_id, hp.b),
+        |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id),
+        |keep AS (SELECT bucket FROM bkt GROUP BY bucket HAVING count(*) BETWEEN 2 AND 6),
+        |bk AS (SELECT b.vec_id, b.bucket FROM bkt b JOIN keep USING (bucket)),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
         |parts AS (SELECT p.id_a, p.id_b,
         |    sum(CAST(ea.embedding[g.i] AS DOUBLE) * CAST(eb.embedding[g.i] AS DOUBLE)) AS dot,
         |    sum(CAST(ea.embedding[g.i] AS DOUBLE) * CAST(ea.embedding[g.i] AS DOUBLE)) AS na,

@@ -99,6 +99,11 @@ object IndexCatalog {
 
   /** Run one stage if not already recorded: produce `df`, write it to a tmp
     * dir, atomically rename into place, record rows + duration + lineage.
+    *
+    * The manifest row count comes from an [[org.apache.spark.sql.Observation]]
+    * attached to the WRITE job itself (one pass) — at 100-TB scale a
+    * `read.parquet(tmp).count()` after the write would pay a second full
+    * scan of the postings table just for a metadata number.
     */
   private def stage(spark: SparkSession, root: String, name: String,
       manifest: Map[String, String], partitionBy: Seq[String] = Nil)(
@@ -109,9 +114,10 @@ object IndexCatalog {
     val dst = new Path(s"$root/$name")
     f.delete(new Path(tmp), true)
     val t0 = System.nanoTime()
-    val w = df.write.mode("overwrite")
+    val obs = org.apache.spark.sql.Observation()
+    val w = df.observe(obs, count(lit(1)).as("rows")).write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
-    val rows = spark.read.parquet(tmp).count()
+    val rows = obs.get("rows").asInstanceOf[Long]
     if (f.exists(dst)) f.delete(dst, true)
     f.rename(new Path(tmp), dst)
     val secs = (System.nanoTime() - t0) / 1e9
@@ -289,8 +295,20 @@ object IndexCatalog {
   private[graft] def stageAppend(docs: DataFrame, docIdCol: String,
       root: String): Int = {
     val spark = docs.sparkSession
-    val m = readManifest(spark, root)
+    var m = readManifest(spark, root)
     require(m.getOrElse("published", "") == "true", s"no published index at $root")
+    // A CRASHED VACUUM must be completed before any append may stage:
+    // the crashed vacuum's finished stages wrote PLAIN termdict/fieldstats
+    // dirs while the manifest still points at generation dirs — an append
+    // publishing in that state would (a) GC those plain dirs as "old
+    // generations" and (b) leave the resumed vacuum's stage keys pointing
+    // at tables that never saw this append's docs. Finishing the vacuum
+    // first restores the invariant every append assumes: the manifest's
+    // stage keys describe the live tables.
+    if (m.getOrElse("vacuum.pending", "") == "true") {
+      vacuum(spark, root)
+      m = readManifest(spark, root)
+    }
     val fieldCols = m("config.fields").split(",").toSeq
     val nf = fieldCols.size
     val nb = m("config.nBuckets").toInt
@@ -421,19 +439,36 @@ object IndexCatalog {
     ()
   }
 
-  /** Persisted remove: append tombstone ids (reference `remove_document`
-    * lazy-delete).
+  /** Persisted remove, DataFrame-native (reference `remove_document`
+    * lazy-delete): the tombstone set is appended as a parquet write of a
+    * DISTRIBUTED id set — a predicate-derived removal of 10^11 docs never
+    * transits the driver. The first column of `ids` is the doc key.
     */
+  def removeDocuments(root: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .write.mode("append").parquet(s"$root/tombstones")
+
+  /** Driver-side convenience overload (small ad-hoc removals). */
   def removeDocuments(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
-    ids.toDF("doc_id").write.mode("append").parquet(s"$root/tombstones")
+    removeDocuments(root, ids.toDF("doc_id"))
   }
 
   /** Persisted vacuum (reference `vacuum`): compact postings/docstats by
     * anti-joining tombstones, rewrite termdict, clear tombstones — a new
     * snapshot replacing the old, stage-atomic per table.
     */
-  def vacuum(spark: SparkSession, root: String): Unit = {
+  def vacuum(spark: SparkSession, root: String): Unit =
+    vacuum(spark, root, crashBeforeCommit = false)
+
+  /** Fault-injection variant for the crash-resume tests: with
+    * `crashBeforeCommit` the compaction runs every stage rewrite but
+    * "dies" before the final manifest commit — exactly the state a real
+    * mid-vacuum crash leaves (`vacuum.pending` set, stage keys recorded,
+    * `table.*` still on the pre-vacuum generation dirs).
+    */
+  private[graft] def vacuum(spark: SparkSession, root: String,
+      crashBeforeCommit: Boolean): Unit = {
     val f = fs(spark, root)
     // a staged-but-unpublished append must land BEFORE the compaction:
     // its staged termdict/fieldstats were merged against the pre-vacuum
@@ -479,6 +514,7 @@ object IndexCatalog {
         (0 until nf).map(i => coalesce(sum(element_at(col("fl"), i + 1)), lit(0L)).as(s"s$i"))
       spark.read.parquet(s"$root/docstats").agg(aggs.head, aggs.tail: _*)
     }
+    if (crashBeforeCommit) return // fault injection: die before the commit
     // vacuum rewrote the whole posting store: refresh the global lineage
     // (append deltas were folded in by the rewrite, so their lines go)
     val perBucket = spark.read.parquet(s"$root/postings")

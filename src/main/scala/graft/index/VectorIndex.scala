@@ -57,8 +57,13 @@ object VectorIndex {
       // stable reads
       .repartition(nBuckets, col("bucket"))
       .sortWithinPartitions(col("vec_id"))
-    assigned.write.partitionBy("bucket").parquet(tmp)
-    val rows = spark.read.parquet(tmp).count()
+    // row count via an Observation on the write job itself — no second
+    // full read of the freshly written store (at 10^12 vectors that
+    // recount is a full scan paid for one manifest number)
+    val obs = org.apache.spark.sql.Observation()
+    assigned.observe(obs, count(lit(1)).as("rows"))
+      .write.partitionBy("bucket").parquet(tmp)
+    val rows = obs.get("rows").asInstanceOf[Long]
     val dst = new Path(s"$root/vectors")
     f.delete(dst, true)
     f.rename(new Path(tmp), dst)
@@ -99,12 +104,14 @@ object VectorIndex {
     val stageDir = s"$root/_vec_stage_$g"
     val f = IndexCatalog.fs(spark, root)
     f.delete(new Path(stageDir), true)
+    val obs = org.apache.spark.sql.Observation()
     emb.select(col(id).cast("long").as("vec_id"), col(vec).as("v"),
         Similarity.signLshBucket(col(vec), dim, nBits).as("bucket"))
       .repartition(1 << nBits, col("bucket"))
       .sortWithinPartitions(col("vec_id"))
+      .observe(obs, count(lit(1)).as("rows")) // one pass: count rides the write
       .write.partitionBy("bucket").parquet(stageDir)
-    val deltaRows = spark.read.parquet(stageDir).count()
+    val deltaRows = obs.get("rows").asInstanceOf[Long]
     IndexCatalog.writeManifest(spark, root, IndexCatalog.readManifest(spark, root) +
       ("append.staged" -> g.toString) +
       (s"append.$g.rows" -> deltaRows.toString))
@@ -166,16 +173,24 @@ object VectorIndex {
   }
 
   /** The query's multiprobe bucket set: its own LSH bucket plus every
-    * bucket at Hamming distance 1 (same probe set as the index-free path).
-    * One 1-row job — the corpus is never touched.
+    * bucket within Hamming distance `maxHamming` of it (distance 1 is the
+    * index-free path's probe set; distance 2 is the recall knob — 37 of
+    * 256 buckets at nBits=8, recall curve in BENCH.md). One 1-row job —
+    * the corpus is never touched.
     */
-  def probeSet(spark: SparkSession, root: String, query: Seq[Float]): Seq[Int] = {
+  def probeSet(spark: SparkSession, root: String, query: Seq[Float],
+      maxHamming: Int = 1): Seq[Int] = {
     import spark.implicits._
+    require(maxHamming >= 0 && maxHamming <= 2, "maxHamming in 0..2")
     val (dim, nBits) = config(spark, root)
     val qb = Seq(Tuple1(query)).toDF("qv")
       .select(Similarity.signLshBucket(col("qv").cast("array<float>"), dim, nBits))
       .head().getInt(0)
-    qb +: (0 until nBits).map(b => qb ^ (1 << b))
+    val h1 = (0 until nBits).map(b => qb ^ (1 << b))
+    val h2 = for (a <- 0 until nBits; b <- a + 1 until nBits)
+      yield qb ^ (1 << a) ^ (1 << b)
+    (Seq(qb) ++ (if (maxHamming >= 1) h1 else Nil) ++
+      (if (maxHamming >= 2) h2 else Nil)).distinct
   }
 
   /** All stored vectors in the query's multiprobe buckets with exact cosine
@@ -184,18 +199,20 @@ object VectorIndex {
     * VectorIndexSpec).
     */
   def probeCandidates(spark: SparkSession, root: String,
-      query: Seq[Float]): DataFrame = {
-    val probes = probeSet(spark, root, query)
+      query: Seq[Float], maxHamming: Int = 1): DataFrame = {
+    val probes = probeSet(spark, root, query, maxHamming)
     val q = array(query.map(v => lit(v)): _*)
     read(spark, root)
       .filter(col("bucket").isin(probes: _*))
       .select(col("vec_id"), Similarity.cosine(col("v"), q).as("cos"))
   }
 
-  /** Approximate cosine top-k over the persisted index. */
+  /** Approximate cosine top-k over the persisted index. `maxHamming` trades
+    * buckets probed for recall (see BENCH.md recall table).
+    */
   def annTopK(spark: SparkSession, root: String, query: Seq[Float],
-      k: Int): DataFrame =
-    probeCandidates(spark, root, query)
+      k: Int, maxHamming: Int = 1): DataFrame =
+    probeCandidates(spark, root, query, maxHamming)
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
 }

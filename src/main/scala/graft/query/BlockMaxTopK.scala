@@ -17,7 +17,7 @@ import graft.score.ScoreModel
   *   UB(range) = Σ_queryTerm max_expansion modelBound(block metadata)
   *
   * where `modelBound` is the scorer's [[ScoreModel.blockUpperBound]] (BM25:
-  * tfn⁺(maxTf)·idf·eboost; zero-to-one: entscore/qlen; a model with no
+  * tfn(maxTf, minFl)·idf·eboost; zero-to-one: entscore/qlen; a model with no
   * sound metadata bound falls back to exhaustive) — the metadata-only
   * mirror of the merge rule (max within a query term's expansions, sum
   * across query terms, which also dominates zero-to-one's max-over-fields).
@@ -37,12 +37,139 @@ import graft.score.ScoreModel
   *  3. exact: decode surviving blocks, score with the SAME expressions as
   *     the exhaustive path, global top-k.
   *
-  * Falls back to the exhaustive path when the index has tombstones (stale
-  * df would break the upper bound) or the expansion set exceeds the
-  * collect cap. Parity with the exhaustive path is asserted in
-  * BlockMaxSpec.
+  * TOMBSTONES (lazy deletion) keep pruning ALIVE here, unlike the round-3
+  * engine which fell back to exhaustive between a delete and the next
+  * vacuum. The bound stays sound because each ingredient moves the safe
+  * way:
+  *  - per-expansion df is RECOUNTED over live postings (the same recount
+  *    the exhaustive path does, QueryEngine.query) — the UB and the exact
+  *    scoring then use the same live idf;
+  *  - field stats come from [[InvertedIndex.fieldStats]], which recomputes
+  *    over live docs when tombstones exist;
+  *  - block metadata (max_tf, min_fl) covers a SUPERSET of the live
+  *    entries, and the tf-norm is increasing in tf and decreasing in fl,
+  *    so the stored pair still dominates every live entry;
+  *  - probe and final candidates are anti-joined against the tombstone set
+  *    before scoring (the reference skips removed pointers inside the
+  *    query walk, /root/reference/src/query.rs:65), so θ is a true live
+  *    score and no deleted doc can surface.
+  * Parity under tombstones is fuzz-pinned by WandParityProps.
+  *
+  * Falls back to the exhaustive path only when the expansion set exceeds
+  * the collect cap, a boost is negative (tfn⁺·boost then UNDERestimates
+  * the most-negative contribution), or the model has no metadata bound.
+  * Parity with the exhaustive path is asserted in BlockMaxSpec.
   */
 object BlockMaxTopK {
+
+  /** Everything phases 1–2 need, shared by [[query]] and [[pruningStats]]
+    * so the diagnostic can never drift from the executed plan: the
+    * resolved (live-df) expansion set and the per-range upper bounds.
+    */
+  private final case class WandPrep(
+      raw: IndexedSeq[String],
+      expDf: DataFrame,
+      eterms: Seq[String],
+      rangeUb: DataFrame)
+
+  /** Phases 0–2 of the WAND plan (tokenize → expand → live-df → range
+    * UBs). None ⇒ the caller must take the exhaustive path.
+    */
+  private def prepare(idx: InvertedIndex,
+      blocks: Dataset[PostingBlocks.Block], queryString: String,
+      model: ScoreModel, fb: Seq[Double], maxCollectedExpansions: Int,
+      tokenizer: String => IndexedSeq[String]): Option[WandPrep] = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    if (fb.exists(_ < 0)) return None
+
+    val raw = tokenizer(queryString)
+    val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
+    if (qterms.isEmpty) return None
+
+    // resolve expansions against the dictionary; need them collected to
+    // broadcast per-term UB factors into the block metadata scan
+    val prefixPred = qterms.map { case (_, t) => col("term").startsWith(lit(t)) }.reduce(_ || _)
+    val qdf = qterms.toSeq.toDF("qti", "qterm")
+    val bucketCol = if (idx.termdict.columns.contains("bucket")) col("bucket") else lit(-1)
+    val collected = idx.termdict.filter(prefixPred)
+      .join(broadcast(qdf), col("term").startsWith(col("qterm")))
+      .select(col("qti"), col("qterm"), col("term").as("exp_term"),
+        col("df").cast("long").as("df"), bucketCol.cast("int").as("bucket"))
+      .limit(maxCollectedExpansions + 1).collect()
+    if (collected.isEmpty || collected.length > maxCollectedExpansions) return None
+
+    var tuples = collected.toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    if (idx.hasTombstones) {
+      // dictionary df is stale under tombstones: recount over LIVE
+      // postings of the expanded terms only (bucket predicate prunes
+      // partitions on a persisted index). Terms whose live df hits 0 drop
+      // out — the reference's df>0 guard.
+      val eterms0 = collected.map(_.getString(2)).distinct.toSeq
+      val hasBucket = idx.postings.columns.contains("bucket")
+      val termPred0 = col("term").isin(eterms0: _*)
+      val pred =
+        if (hasBucket) col("bucket").isin(collected.map(_.getInt(4)).distinct.toSeq: _*) && termPred0
+        else termPred0
+      val liveDf = idx.livePostings.filter(pred)
+        .groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      tuples = tuples.flatMap { case (qti, qterm, eterm, _) =>
+        liveDf.get(eterm).map(d => (qti, qterm, eterm, d))
+      }
+      if (tuples.isEmpty) return None
+    }
+    val expDf = tuples.toDF("qti", "qterm", "exp_term", "df")
+
+    val stats = idx.fieldStats() // live-recomputed under tombstones
+    // per-model precalc + block bound via the SAME column expressions as
+    // the scorer (bit-equal); a model without a sound metadata bound
+    // answers None → exhaustive path (scorer-generic, like the reference
+    // query loop)
+    val expWithCols = model.expansionColumns(expDf, stats)
+    val ubCol = model.blockUpperBound(stats, fb, raw.length, idx.numFields) match {
+      case Some(c) => c
+      case None => return None
+    }
+    val eterms = tuples.map(_._3).distinct
+
+    // ---- block metadata → per-range upper bounds ----
+    // (max_tf/min_fl cover a superset of live entries — still an upper
+    // bound under tombstones, see scaladoc)
+    val meta = blocks.toDF().filter(col("term").isin(eterms: _*))
+      .select(col("term"), col("block_id"), col("max_tf"), col("min_fl"))
+      .join(broadcast(expWithCols), col("term") === col("exp_term"))
+      .select(col("block_id"), col("qti"), ubCol.as("ub"))
+    val rangeUb = meta
+      .groupBy(col("block_id"), col("qti")).agg(max(col("ub")).as("mub"))
+      .groupBy(col("block_id")).agg(sum(col("mub")).as("ub"))
+    Some(WandPrep(raw, expDf, eterms, rangeUb))
+  }
+
+  /** Decoded block postings restricted to live docs (blocks still hold
+    * tombstoned entries until vacuum).
+    */
+  private def liveCand(idx: InvertedIndex, cand: DataFrame): DataFrame =
+    if (idx.hasTombstones) cand.join(idx.tombstones, Seq("doc_id"), "left_anti")
+    else cand
+
+  /** Phase 1: exact-score the `probeBlocks` highest-UB ranges; the k-th
+    * best TRUE score found is the pruning threshold θ.
+    */
+  private def thetaProbe(idx: InvertedIndex,
+      blocks: Dataset[PostingBlocks.Block], p: WandPrep, model: ScoreModel,
+      fb: Seq[Double], k: Int, blockSize: Long, probeBlocks: Int): Double = {
+    val probeIds = p.rangeUb.orderBy(col("ub").desc, col("block_id").asc)
+      .limit(probeBlocks).select("block_id").collect().map(_.getLong(0)).toSeq
+    val probeCand = liveCand(idx, PostingBlocks.toPostings(
+      blocks.toDF().filter(col("term").isin(p.eterms: _*) &&
+        col("block_id").isin(probeIds: _*)),
+      idx.numFields, blockSize))
+    val probed = QueryEngine.scoreCandidates(
+      idx, probeCand, p.expDf, model, fb, p.raw.length, k).collect()
+    if (probed.length >= k) probed(k - 1).getDouble(1) else Double.NegativeInfinity
+  }
 
   /** @param blocks   block table from [[PostingBlocks.fromPostings]]
     * @param k        top-k size (> 0)
@@ -54,136 +181,45 @@ object BlockMaxTopK {
       maxCollectedExpansions: Int = 4096,
       tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
     require(k > 0, "block-max path is top-k only")
-    val spark = idx.postings.sparkSession
-    import spark.implicits._
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
-
-    if (idx.hasTombstones) // stale df ⇒ UB unsound; exhaustive handles it
-      return QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
-    if (fb.exists(_ < 0)) // negative boost ⇒ tfn⁺·boost is no longer an
-      // upper bound (it UNDERestimates the most-negative contribution),
-      // so pruning could drop true top-k docs; exhaustive path accepts
-      // negative boosts like the reference's fields_boost does
-      return QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
-
-    val raw = tokenizer(queryString)
-    val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
-    if (qterms.isEmpty)
-      return QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
-
-    // resolve expansions against the dictionary; need them collected to
-    // broadcast per-term UB factors into the block metadata scan
-    val prefixPred = qterms.map { case (_, t) => col("term").startsWith(lit(t)) }.reduce(_ || _)
-    val qdf = qterms.toSeq.toDF("qti", "qterm")
-    val expAll = idx.termdict.filter(prefixPred)
-      .join(broadcast(qdf), col("term").startsWith(col("qterm")))
-      .select(col("qti"), col("qterm"), col("term").as("exp_term"),
-        col("df").cast("long").as("df"))
-    val collected = expAll.limit(maxCollectedExpansions + 1).collect()
-    if (collected.isEmpty) return QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
-    if (collected.length > maxCollectedExpansions)
-      return QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
-
-    val expDf = collected.toSeq
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-      .toDF("qti", "qterm", "exp_term", "df")
-    val stats = idx.fieldStats()
-    // per-model precalc + block bound via the SAME column expressions as
-    // the scorer (bit-equal); a model without a sound metadata bound
-    // answers None → exhaustive path (scorer-generic, like the reference
-    // query loop)
-    val expWithCols = model.expansionColumns(expDf, stats)
-    val ubCol = model.blockUpperBound(stats, fb, raw.length, idx.numFields) match {
-      case Some(c) => c
+    prepare(idx, blocks, queryString, model, fb, maxCollectedExpansions,
+      tokenizer) match {
       case None =>
-        return QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
+        QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
+      case Some(p) =>
+        val theta = thetaProbe(idx, blocks, p, model, fb, k, blockSize, probeBlocks)
+        // ---- phase 2+3: prune ranges by θ, decode survivors, exact top-k ----
+        val survivors = p.rangeUb.filter(col("ub") >= theta).select("block_id")
+        val cand = liveCand(idx, PostingBlocks.toPostings(
+          blocks.toDF().filter(col("term").isin(p.eterms: _*))
+            .join(broadcast(survivors), Seq("block_id"), "left_semi"),
+          idx.numFields, blockSize))
+        QueryEngine.scoreCandidates(idx, cand, p.expDf, model, fb, p.raw.length, k)
     }
-    val eterms = collected.map(_.getString(2)).distinct.toSeq
-
-    // ---- block metadata → per-range upper bounds ----
-    val meta = blocks.toDF().filter(col("term").isin(eterms: _*))
-      .select(col("term"), col("block_id"), col("max_tf"), col("min_fl"))
-      .join(broadcast(expWithCols), col("term") === col("exp_term"))
-      .select(col("block_id"), col("qti"), ubCol.as("ub"))
-    val rangeUb = meta
-      .groupBy(col("block_id"), col("qti")).agg(max(col("ub")).as("mub"))
-      .groupBy(col("block_id")).agg(sum(col("mub")).as("ub"))
-
-    // ---- phase 1: θ from the highest-UB ranges ----
-    val probeIds = rangeUb.orderBy(col("ub").desc, col("block_id").asc)
-      .limit(probeBlocks).select("block_id").collect().map(_.getLong(0)).toSeq
-    val probeCand = PostingBlocks.toPostings(
-      blocks.toDF().filter(col("term").isin(eterms: _*) &&
-        col("block_id").isin(probeIds: _*)),
-      idx.numFields, blockSize)
-    val probeScores = QueryEngine.scoreCandidates(
-      idx, probeCand, expDf, model, fb, raw.length, k)
-    val probed = probeScores.collect()
-    val theta = if (probed.length >= k) probed(k - 1).getDouble(1) else Double.NegativeInfinity
-
-    // ---- phase 2+3: prune ranges by θ, decode survivors, exact top-k ----
-    val survivors = rangeUb.filter(col("ub") >= theta).select("block_id")
-    val cand = PostingBlocks.toPostings(
-      blocks.toDF().filter(col("term").isin(eterms: _*))
-        .join(broadcast(survivors), Seq("block_id"), "left_semi"),
-      idx.numFields, blockSize)
-    QueryEngine.scoreCandidates(idx, cand, expDf, model, fb, raw.length, k)
   }
 
-  /** NOISE-FREE pruning diagnostics: re-runs phases 1–2 of [[query]] for
-    * the same inputs and reports `(totalRanges, survivingRanges, theta)` —
-    * the algorithmic effect of a bound change, independent of host timing
-    * noise (this VM swings 5×). None when the query would fall back to the
-    * exhaustive path.
+  /** NOISE-FREE pruning diagnostics: runs phases 1–2 of [[query]] — through
+    * the SAME [[prepare]]/[[thetaProbe]] code, so it can never report the
+    * behavior of a different plan — and returns `(totalRanges,
+    * survivingRanges, theta)`: the algorithmic effect of a bound change,
+    * independent of host timing noise (this VM swings 5×). None when the
+    * query would fall back to the exhaustive path.
     */
   def pruningStats(idx: InvertedIndex, blocks: Dataset[PostingBlocks.Block],
       queryString: String, model: ScoreModel, boosts: Seq[Double] = Nil,
       k: Int = 10, blockSize: Long = PostingBlocks.DefaultBlockSize,
       probeBlocks: Int = 8, maxCollectedExpansions: Int = 4096,
       tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): Option[(Long, Long, Double)] = {
-    val spark = idx.postings.sparkSession
-    import spark.implicits._
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
-    if (idx.hasTombstones || fb.exists(_ < 0)) return None
-    val raw = tokenizer(queryString)
-    val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
-    if (qterms.isEmpty) return None
-    val prefixPred = qterms.map { case (_, t) => col("term").startsWith(lit(t)) }.reduce(_ || _)
-    val qdf = qterms.toSeq.toDF("qti", "qterm")
-    val collected = idx.termdict.filter(prefixPred)
-      .join(broadcast(qdf), col("term").startsWith(col("qterm")))
-      .select(col("qti"), col("qterm"), col("term").as("exp_term"),
-        col("df").cast("long").as("df"))
-      .limit(maxCollectedExpansions + 1).collect()
-    if (collected.isEmpty || collected.length > maxCollectedExpansions) return None
-    val expDf = collected.toSeq
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-      .toDF("qti", "qterm", "exp_term", "df")
-    val stats = idx.fieldStats()
-    val expWithCols = model.expansionColumns(expDf, stats)
-    val ubCol = model.blockUpperBound(stats, fb, raw.length, idx.numFields)
-      .getOrElse(return None)
-    val eterms = collected.map(_.getString(2)).distinct.toSeq
-    val meta = blocks.toDF().filter(col("term").isin(eterms: _*))
-      .select(col("term"), col("block_id"), col("max_tf"), col("min_fl"))
-      .join(broadcast(expWithCols), col("term") === col("exp_term"))
-      .select(col("block_id"), col("qti"), ubCol.as("ub"))
-    val rangeUb = meta
-      .groupBy(col("block_id"), col("qti")).agg(max(col("ub")).as("mub"))
-      .groupBy(col("block_id")).agg(sum(col("mub")).as("ub"))
-      .cache()
-    val total = rangeUb.count()
-    val probeIds = rangeUb.orderBy(col("ub").desc, col("block_id").asc)
-      .limit(probeBlocks).select("block_id").collect().map(_.getLong(0)).toSeq
-    val probeCand = PostingBlocks.toPostings(
-      blocks.toDF().filter(col("term").isin(eterms: _*) &&
-        col("block_id").isin(probeIds: _*)),
-      idx.numFields, blockSize)
-    val probed = QueryEngine.scoreCandidates(
-      idx, probeCand, expDf, model, fb, raw.length, k).collect()
-    val theta = if (probed.length >= k) probed(k - 1).getDouble(1) else Double.NegativeInfinity
-    val survivors = rangeUb.filter(col("ub") >= theta).count()
-    rangeUb.unpersist()
-    Some((total, survivors, theta))
+    prepare(idx, blocks, queryString, model, fb, maxCollectedExpansions,
+      tokenizer).map { p0 =>
+      val p = p0.copy(rangeUb = p0.rangeUb.cache())
+      try {
+        val total = p.rangeUb.count()
+        val theta = thetaProbe(idx, blocks, p, model, fb, k, blockSize, probeBlocks)
+        val survivors = p.rangeUb.filter(col("ub") >= theta).count()
+        (total, survivors, theta)
+      } finally { p.rangeUb.unpersist(); () }
+    }
   }
 }

@@ -85,6 +85,11 @@ object EventWindows {
     ss
   }
 
+  /** NOTE: the returned DataFrame is the ONLY handle on the result. The
+    * memory sink's temp view lives on an internal cloned session (so the
+    * state-partition override cannot leak into the caller's conf), and is
+    * NOT visible via `spark.table(...)` on the caller's session.
+    */
   def runAvailableNow(spark: SparkSession, eventsParquet: String,
       checkpoint: String = "",
       statePartitions: Int = DefaultStatePartitions): DataFrame = {

@@ -136,6 +136,47 @@ class IncrementalSpec extends TestBase {
       .contains("\"table.termdict\": \"termdict.g1\""))
   }
 
+  test("append after a crashed vacuum completes the vacuum first") {
+    // the round-4 ADVICE interleaving: a vacuum that died AFTER its stage
+    // rewrites but BEFORE the final commit (vacuum.pending set, stage keys
+    // recorded, table.* still on pre-vacuum generation dirs). An append
+    // publishing in that state used to (a) GC the crashed vacuum's plain
+    // termdict/fieldstats rewrites as "old generations" and (b) let the
+    // resumed vacuum commit stale stage tables that never saw the
+    // append's docs — index left with no dictionary at all.
+    val root = Files.createTempDirectory("graft_incr6_").toString
+    IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 8)
+    IndexCatalog.addDocuments(batch(batchB), "id", root) // table.* → *.g1
+    IndexCatalog.removeDocuments(spark, root, Seq(0L, 2L))
+    IndexCatalog.vacuum(spark, root, crashBeforeCommit = true)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/manifest.json"))
+      .contains("\"vacuum.pending\": \"true\""))
+
+    val batchC = Seq((4L, "abc zzz", "dfg abcf"))
+    IndexCatalog.addDocuments(batch(batchC), "id", root)
+
+    val idx = IndexCatalog.read(spark, root)
+    val full = IndexBuilder.build(
+      batch(Seq(batchA(1), batchB(1)) ++ batchC), "id",
+      Seq("title", "description"))
+    assert(idx.docstats.count() == 3)
+    assert(idx.termdict.select("term", "df").exceptAll(full.termdict).count() == 0 &&
+      full.termdict.exceptAll(idx.termdict.select("term", "df")).count() == 0)
+    val sa = idx.fieldStats(); val sb = full.fieldStats()
+    assert(sa.n == sb.n && sa.sums.toSeq == sb.sums.toSeq)
+    for (q <- Seq("abc", "dfg zzz", "ab")) {
+      val a = QueryEngine.query(idx, q, BM25()).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = QueryEngine.query(full, q, BM25()).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"query '$q': lifecycle=$a vs full=$b")
+    }
+    assert(!java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/manifest.json"))
+      .contains("vacuum.pending"))
+  }
+
   test("manifest delete-then-rename crash window is recoverable") {
     val root = Files.createTempDirectory("graft_mrec_").toString
     IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 4)

@@ -117,6 +117,34 @@ class VectorIndexSpec extends TestBase {
     assert(VectorIndex.read(spark, root2).count() == 300)
   }
 
+  test("maxHamming widens the probe set monotonically; recall@k grows to 1") {
+    val root = builtRoot()
+    val q = vectors.filter(col("vec_id") === 11).head().getSeq[Float](1)
+    val p0 = VectorIndex.probeSet(spark, root, q, maxHamming = 0).toSet
+    val p1 = VectorIndex.probeSet(spark, root, q, maxHamming = 1).toSet
+    val p2 = VectorIndex.probeSet(spark, root, q, maxHamming = 2).toSet
+    assert(p0.size == 1 && p0.subsetOf(p1) && p1.subsetOf(p2))
+    assert(p1.size == nBits + 1)
+    assert(p2.size == 1 + nBits + nBits * (nBits - 1) / 2)
+
+    // recall@k against the exact brute-force top-k must be monotone in the
+    // probe radius (more buckets probed ⇒ supersets of candidates)
+    val k = 20
+    val exact = Similarity.cosineTopK(vectors, "vec_id", "embedding", q, k)
+      .collect().map(_.getLong(0)).toSet
+    def recall(h: Int): Double = {
+      val got = VectorIndex.annTopK(spark, root, q, k, maxHamming = h)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / k
+    }
+    val (r0, r1, r2) = (recall(0), recall(1), recall(2))
+    assert(r0 <= r1 && r1 <= r2, s"recall not monotone: $r0 / $r1 / $r2")
+    // with 22 of 64 buckets probed on 300 vectors the H2 probe must find
+    // a solid majority of the true top-20 (deterministic corpus: measured
+    // well above this floor)
+    assert(r2 >= 0.5, s"H2 recall@$k too low: $r2")
+  }
+
   test("probeCandidates equals a brute-force filter of the same buckets") {
     val root = builtRoot()
     val q = vectors.filter(col("vec_id") === 42).head().getSeq[Float](1)

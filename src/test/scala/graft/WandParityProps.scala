@@ -59,4 +59,42 @@ object WandParityProps extends Properties("WandParity") {
     forAll(corpusGen, queryGen, Gen.choose(1, 8)) { (docs, q, k) =>
       parity(docs, q, k, ZeroToOne())
     }
+
+  /** Tombstones must NOT silently fall back to exhaustive (round-3 engine
+    * did): blocks are built BEFORE the delete — the deployment state
+    * between a remove and the next vacuum, where block metadata covers a
+    * superset of the live entries — and pruning must stay live (df
+    * recounted, candidates anti-joined) while returning exactly the
+    * exhaustive live top-k.
+    */
+  private def parityTombstoned(docs: List[String], q: String, k: Int,
+      mod: Int, model: ScoreModel): Boolean = {
+    import spark.implicits._
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "title")
+    val idx0 = IndexBuilder.build(df, "id", Seq("title"))
+    val blocks = PostingBlocks.fromPostings(idx0.postings, 1, blockSize = 8)
+    val ids = docs.indices.collect { case i if i % mod == 0 => i.toLong }
+    val idx = graft.index.Mutations.removeDocuments(idx0, ids)
+    val exact = QueryEngine.query(idx, q, model, limit = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wand = BlockMaxTopK.query(idx, blocks, q, model, k = k,
+      blockSize = 8, probeBlocks = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val stats = BlockMaxTopK.pruningStats(idx, blocks, q, model, k = k,
+      blockSize = 8, probeBlocks = 2)
+    // parity AND no silent fallback (stats is None only when nothing
+    // expands / no live posting remains, i.e. the exact result is empty)
+    wand == exact && (stats.isDefined || exact.isEmpty)
+  }
+
+  property("blockMax == exhaustive under tombstones, pruning live (BM25)") =
+    forAll(corpusGen, queryGen, Gen.choose(1, 8), Gen.choose(2, 4)) {
+      (docs, q, k, mod) => parityTombstoned(docs, q, k, mod, BM25())
+    }
+
+  property("blockMax == exhaustive under tombstones, pruning live (zto)") =
+    forAll(corpusGen, queryGen, Gen.choose(1, 8), Gen.choose(2, 4)) {
+      (docs, q, k, mod) => parityTombstoned(docs, q, k, mod, ZeroToOne())
+    }
 }
