@@ -94,6 +94,92 @@ object Bench {
     sorted(sorted.size / 2)
   }
 
+  /** Impact-ordered doc-id minting as the SHIPPED recipe (not just a demo):
+    * the TIERED corpus (per-doc keyword-density tiers — the doc-level
+    * score variance real corpora have) is minted two ways from the same
+    * rows — (a) generation order (density-random doc-ids) and (b)
+    * `DocIdMint.mintOrdered` by a STATIC, content-derived key (keyword
+    * density, the impact-ordering analog of quality/source ordering) —
+    * and the standard query mix runs over both persisted WAND stacks.
+    * Reports per-variant exhaustive/WAND p50 plus the noise-free
+    * pruningStats survivor counts, as one JSON fragment.
+    */
+  def corpusTableTiered(spark: SparkSession, nFiles: Long,
+      ordered: Boolean): String = {
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_bench_tier_${nFiles}_" + (if (ordered) "ord" else "rnd")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))) {
+      f.delete(p, true)
+      val kw = typedLit(SourceCodeGen.Keywords)
+      val base = SourceCodeGen.generate(spark, nFiles, tiered = true)
+        .drop("doc_id").repartition(64)
+        .withColumn("kw_density",
+          size(filter(split(col("content"), " "), t => array_contains(kw, t)))
+            .cast("double") /
+            greatest(size(split(col("content"), " ")), lit(1)).cast("double"))
+      // ordering key = (coarse density band DESC, length ASC): the band
+      // clusters score-correlated docs, and the SECONDARY LENGTH SORT is
+      // load-bearing — without it every range mixes a long max-tf doc
+      // with a short min-fl doc and the decoupled (max_tf, min_fl) bound
+      // goes loose (measured: no pruning at all); length-homogeneous
+      // ranges keep the stored pair describing the same regime
+      val minted =
+        if (ordered)
+          graft.tools.DocIdMint.mintOrdered(base,
+            Seq(round(col("kw_density") * 8).desc,
+              size(split(col("content"), " ")).asc, col("path").asc))
+        else graft.tools.DocIdMint.mint(base)
+      minted.drop("kw_density").write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  def runWandMinted(spark: SparkSession, nFiles: Long, reps: Int = 3): String = {
+    import org.apache.spark.sql.functions.col
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    val parts = for (ordered <- Seq(false, true)) yield {
+      val tag = if (ordered) "ordered" else "unordered"
+      val root = s"/tmp/graft_bench_tieridx_${nFiles}_" + (if (ordered) "ord" else "rnd")
+      val idx = try IndexCatalog.read(spark, root) catch {
+        case _: IllegalArgumentException | _: org.apache.spark.sql.AnalysisException =>
+          IndexCatalog.build(
+            spark.read.parquet(corpusTableTiered(spark, nFiles, ordered)),
+            "doc_id", Seq("content", "path"), root)
+          IndexCatalog.read(spark, root)
+      }
+      IndexCatalog.buildBlocks(spark, root)
+      val (blocksRaw, bs) = IndexCatalog.readBlocks(spark, root)
+      val blocks = blocksRaw.cache(); blocks.count()
+      idx.termdict.cache().count()
+      val qparts = QuerySet.map { q =>
+        QueryEngine.query(idx, q, BM25(), limit = 10).collect() // warm
+        graft.query.BlockMaxTopK.query(idx, blocks, q, BM25(), k = 10,
+          blockSize = bs).collect()
+        val ex = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          QueryEngine.query(idx, q, BM25(), limit = 10).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val wd = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          graft.query.BlockMaxTopK.query(idx, blocks, q, BM25(), k = 10,
+            blockSize = bs).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val pr = graft.query.BlockMaxTopK
+          .pruningStats(idx, blocks, q, BM25(), k = 10, blockSize = bs)
+          .map { case (t, s, _) => s"""{"ranges":$t,"survive":$s}""" }
+          .getOrElse("null")
+        f""""$q":{"exh_p50":${median(ex)}%.3f,"wand_p50":${median(wd)}%.3f,"prune":$pr}"""
+      }
+      blocks.unpersist(); idx.termdict.unpersist()
+      s""""$tag":{${qparts.mkString(",")}}"""
+    }
+    s"""{"files":$nFiles,${parts.mkString(",")}}"""
+  }
+
   /** Median per-query latency (seconds) of BM25 top-10 over a cached
     * index built from nFiles synthetic docs.
     */
@@ -187,6 +273,11 @@ object Bench {
     val fps = files / buildSecs
     val p50 = runQueries(spark, nFiles)
     val wandP50 = runWandQueries(spark, nFiles)
+    // impact-ordered minting on the tiered corpus (the deployment recipe
+    // for WAND; larger than the build corpus so decode volume, not fixed
+    // job overhead, dominates — that is the regime pruning targets)
+    val tierFiles = sys.env.getOrElse("SPARK_GRAFT_TIER_FILES", "800000").toLong
+    val minted = runWandMinted(spark, tierFiles)
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""query_reps":$reps,"queries_cold":$qsCold,"total_cold":$totalCold,""" +
@@ -194,7 +285,8 @@ object Bench {
       s""""build_files":$files,"build_secs":$buildSecs,""" +
       s""""build_samples_secs":[${buildSamples.mkString(",")}],""" +
       s""""build_files_per_sec":$fps,""" +
-      s""""bm25_topk_p50_secs":$p50,"wand_topk_p50_secs":$wandP50,"cpus":"$cpus"}""")
+      s""""bm25_topk_p50_secs":$p50,"wand_topk_p50_secs":$wandP50,""" +
+      s""""wand_minted":$minted,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object SourceCodeGen {
 
-  private val Keywords = Seq(
+  val Keywords: Seq[String] = Seq(
     "import", "val", "def", "class", "object", "return", "if", "else",
     "for", "while", "match", "case", "trait", "new", "null", "true",
     "false", "try", "catch", "finally", "override", "private", "public",
@@ -43,19 +43,40 @@ object SourceCodeGen {
   /** @param n     number of files
     * @param seed  corpus seed (same (n, seed) ⇒ identical table)
     * @param minTokens/maxTokens  content length range (uniform by hash)
+    * @param tiered when set, every 10th doc (by hash) is BOILERPLATE —
+    *               skew exponent 6 instead of the global 2, i.e.
+    *               keyword-saturated the way generated/stub files are
+    *               (~35% of its tokens are the hottest keyword vs ~4.4%
+    *               for hand code). This doc-LEVEL score correlation is
+    *               what makes impact-ordered doc-id minting
+    *               (DocIdMint.mintOrdered) effective; the uniform default
+    *               corpus is the measured worst case for any block-max
+    *               bound (BENCH.md round 3, survivors 391/391). A
+    *               CONTINUOUS tier range was tried first and rejected:
+    *               BM25's tf-saturation compresses a smooth density
+    *               gradient into near-equal range bounds (measured 39/64
+    *               survivors); a bimodal population separates the bands.
     */
   def generate(spark: SparkSession, n: Long, seed: Long = 42L,
-      minTokens: Int = 20, maxTokens: Int = 140): DataFrame = {
+      minTokens: Int = 20, maxTokens: Int = 140,
+      tiered: Boolean = false): DataFrame = {
     val vocab = typedLit(Vocab)
     val vsz = Vocab.size
     val id = col("id")
     val nTok = (pmod(h(id, lit(seed), lit("len")), lit(maxTokens - minTokens + 1))
       + minTokens).cast("int")
-    // quadratic skew: uniform u in [0,1) → index floor(u²·V): P(idx=0) is
-    // largest, long tail — stop-word-like distribution
+    // skew: uniform u in [0,1) → index floor(u^e·V): P(idx=0) is largest,
+    // long tail — stop-word-like distribution. e is the global 2, or the
+    // per-doc tier exponent (larger e ⇒ more mass on hot keywords).
+    val exponent: Column =
+      when(pmod(h(id, lit(seed), lit("tier")), lit(10)) === 0, lit(6.0))
+        .otherwise(lit(2.0))
     val tokenAt = (i: Column) => {
       val u = pmod(h(id, i, lit(seed)), lit(100000)).cast("double") / lit(100000.0)
-      element_at(vocab, (u * u * vsz).cast("int") + 1)
+      // u*u (not pow(u,2)) in the default path keeps the existing corpus
+      // bit-identical across rounds
+      val v = if (tiered) pow(u, exponent) else u * u
+      element_at(vocab, (v * vsz).cast("int") + 1)
     }
     val content = concat_ws(" ", transform(sequence(lit(1), nTok), tokenAt))
     val repo = concat(lit("org/repo-"),
