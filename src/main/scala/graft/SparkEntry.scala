@@ -697,6 +697,22 @@ object SparkEntry {
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
         .orderBy("doc_id")),
 
+    // the transitive-closure tail of the near-dup pipeline: MinHash-LSH
+    // candidate pairs (jaccard ≥ 0.5) over the dup-injected corpus →
+    // connected components (iterative hash-min + pointer jumping) →
+    // (id, component = min reachable id). Oracle = the same pair SQL plus
+    // a recursive-CTE reachability min — an independent algorithm, so a
+    // propagation bug (stale label, missed hop) breaks the hash.
+    "q42_neardup_components" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val aug = d.select(col("doc_id"), col("text")).union(
+        d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.jaccardPairsViaLsh(aug, "doc_id", "text", 3, 8, 2, 0.5)
+        .select("id_a", "id_b")
+      Dedup.components(pairs).orderBy("id")
+    }),
+
     // the PRODUCTION-CAPPED cosine near-dup path (q31 disables the
     // hot-bucket cap for its oracle; here the cap is ENGAGED and binding —
     // sf0.01 has buckets of size 7..10 — and the oracle applies the same
@@ -924,6 +940,39 @@ object SparkEntry {
          |FROM ix i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
          |WHERE (i.inter * 1.0 / (sa.sz + sb.sz - i.inter)) >= 0.02
          |ORDER BY i.id_a, i.id_b""".stripMargin,
+
+    // q29's pair pipeline over the dup-injected corpus at jaccard ≥ 0.5,
+    // then components via RECURSIVE reachability (id, min reachable id) —
+    // an independent formulation of the engine's label propagation
+    "q42_neardup_components" ->
+      s"""WITH RECURSIVE aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+         |tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM aug),
+         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tk WHERE len(t) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+         |hx AS (SELECT doc_id, md5(shingle) AS hex FROM sh),
+         |hv AS (SELECT doc_id, j,
+         |         CAST(('0x' || substr(hex, 1, 14)) AS BIGINT)
+         |         + j * CAST(('0x' || substr(hex, 15, 14)) AS BIGINT) AS v
+         |       FROM hx, generate_series(0, 7) hj(j)),
+         |sig AS (SELECT doc_id, j AS h, min(v) AS minhash FROM hv GROUP BY doc_id, j),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM sig a JOIN sig b ON a.h = b.h AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+         |         GROUP BY a.doc_id, b.doc_id, a.h // 2 HAVING count(*) = 2),
+         |cp AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |ix AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |       FROM cp c JOIN sh a ON a.doc_id = c.id_a
+         |       JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |       GROUP BY c.id_a, c.id_b),
+         |pair AS (SELECT i.id_a, i.id_b FROM ix i
+         |         JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+         |         WHERE (i.inter * 1.0 / (sa.sz + sb.sz - i.inter)) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pair UNION SELECT id_b, id_a FROM pair),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (SELECT id, id FROM nodes
+         |                 UNION
+         |                 SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     // same bucket math as q16, all same-bucket pairs, exact cosine,
     // micro-unit threshold (cos ≥ 0.2 ⇔ cos_micro ≥ 200000)

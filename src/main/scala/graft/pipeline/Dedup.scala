@@ -189,6 +189,72 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected candidate-pair edge set (the
+    * first two columns of `pairs` are the endpoint ids): the transitive
+    * closure step every near-dup pipeline needs between "candidate PAIRS"
+    * ([[lshCandidates]] / [[jaccardPairsViaLsh]] / [[simhashNearDups]])
+    * and "keep ONE doc per duplicate CLUSTER". Output `(id, component)`
+    * for every id appearing in `pairs`, where `component` = the minimum
+    * id reachable from it.
+    *
+    * Algorithm: iterative hash-min label propagation WITH pointer jumping
+    * (label(x) ← min over {x} ∪ neighbors, then label(x) ← label(label(x)))
+    * — each iteration is two shuffles over (edges ⋈ labels), convergence
+    * in O(log diameter) iterations. Near-dup clusters are shallow (a dup
+    * cluster's diameter is small by construction — members all resemble
+    * one another), so this settles in 2–4 iterations; the driver runs one
+    * tiny `count` per iteration for the fixpoint check, never the data.
+    * No GraphX dependency, plain DataFrame ops, AQE-compatible.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val a = pairs.columns(0); val b = pairs.columns(1)
+    val e0 = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+    // symmetrize once; feeds every iteration's join
+    val edges = scope.cut(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    var labels = scope.cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
+    var it = 0
+    var changed = 1L
+    while (changed > 0) {
+      require(it < maxIter, s"components did not converge in $maxIter iterations")
+      // hash-min: component ← min over self and neighbors' components
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("component")).as("_nmin"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_nmin"), col("component")))
+            .as("component"))
+      // pointer jumping: component ← component's own label (halves the
+      // remaining path length each iteration)
+      val next = scope.cut(propagated.as("x")
+        .join(labels.select(col("id").as("_pid"), col("component").as("_pcomp")),
+          col("x.component") === col("_pid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.component"), coalesce(col("_pcomp"), col("x.component")))
+            .as("component")))
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("component").as("_old")), Seq("id"))
+        .filter(col("component") =!= col("_old")).count()
+      labels.unpersist(false)
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** Near-dup dedup as a transform: drop every doc that is a NON-canonical
+    * member of a pair-connected cluster (canonical = minimum id), keeping
+    * all input columns. Docs in no pair survive untouched.
+    */
+  def dropNearDups(docs: DataFrame, id: String, pairs: DataFrame,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val losers = components(pairs, scope = scope)
+      .filter(col("component") =!= col("id")).select(col("id"))
+    docs.join(losers, docs(id) === losers("id"), "left_anti")
+  }
+
   /** 32-bit SimHash over whitespace terms, tf-weighted: bit b is set when
     * Σ_terms tf · sign(bit b of hash(term)) > 0. Portable md5-based term
     * hash; the vote aggregation is one explode + groupBy.

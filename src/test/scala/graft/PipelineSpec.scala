@@ -22,6 +22,33 @@ class PipelineSpec extends TestBase {
     ).toDF("doc_id", "text")
   }
 
+  test("components: transitive closure over pair chains, min-id labels") {
+    import spark.implicits._
+    // a 5-node PATH (forces multi-hop propagation — no pair links 10 to
+    // 14 directly), one 2-cluster, and a triangle with redundant edges
+    val pairs = Seq(
+      (11L, 10L), (11L, 12L), (12L, 13L), (14L, 13L), // path 10..14
+      (5L, 6L),                                       // pair
+      (20L, 21L), (21L, 22L), (20L, 22L)              // triangle
+    ).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      5L -> 5L, 6L -> 5L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dropNearDups keeps the canonical member per cluster + singletons") {
+    import spark.implicits._
+    val docs = Seq.tabulate(8)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (3L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val survivors = Dedup.dropNearDups(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // clusters {1,3,5}→keep 1 and {6,7}→keep 6; 0,2,4 untouched
+    assert(survivors == Set(0L, 1L, 2L, 4L, 6L))
+  }
+
   test("exact dedup finds normalized duplicate groups") {
     val groups = Dedup.exactDupGroups(docsWithDups, "doc_id", "text").collect()
     assert(groups.length == 1)
