@@ -246,7 +246,12 @@ object IndexCatalog {
       s"block table at $root has format ${m.getOrElse("config.blockFormat", "1")}, " +
         s"engine expects $BlockFormat — re-run buildBlocks")
     val bs = m.getOrElse("config.blockSize", PostingBlocks.DefaultBlockSize.toString).toLong
-    (spark.read.parquet(s"$root/blocks").drop("bucket").as[PostingBlocks.Block], bs)
+    // KEEP the bucket partition column (the Block encoder tolerates the
+    // extra field): BlockMaxTopK adds a `bucket IN (…)` predicate for the
+    // expanded terms, so the metadata/probe/decode scans touch only the
+    // query's bucket partitions — without it every WAND query reads every
+    // bucket dir of the block store
+    (spark.read.parquet(s"$root/blocks").as[PostingBlocks.Block], bs)
   }
 
   /** Incremental append — the reference's headline mutation

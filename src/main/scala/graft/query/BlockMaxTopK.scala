@@ -69,7 +69,13 @@ object BlockMaxTopK {
   private final case class WandPrep(
       raw: IndexedSeq[String],
       expDf: DataFrame,
-      eterms: Seq[String],
+      /** Scan predicate for the block table: `term IN (expanded terms)`,
+        * plus `bucket IN (their buckets)` when the block table carries its
+        * hive partition column ([[graft.index.IndexCatalog.readBlocks]]) —
+        * that makes every block scan (metadata, probe, final decode)
+        * PARTITION-PRUNED to the query's buckets.
+        */
+      blockPred: org.apache.spark.sql.Column,
       rangeUb: DataFrame)
 
   /** Phases 0–2 of the WAND plan (tokenize → expand → live-df → range
@@ -133,18 +139,25 @@ object BlockMaxTopK {
       case None => return None
     }
     val eterms = tuples.map(_._3).distinct
+    val ebuckets = collected.map(_.getInt(4)).distinct.toSeq
+    val blockPred = {
+      val tp = col("term").isin(eterms: _*)
+      if (blocks.columns.contains("bucket") && ebuckets.forall(_ >= 0))
+        col("bucket").isin(ebuckets: _*) && tp
+      else tp
+    }
 
     // ---- block metadata → per-range upper bounds ----
     // (max_tf/min_fl cover a superset of live entries — still an upper
     // bound under tombstones, see scaladoc)
-    val meta = blocks.toDF().filter(col("term").isin(eterms: _*))
+    val meta = blocks.toDF().filter(blockPred)
       .select(col("term"), col("block_id"), col("max_tf"), col("min_fl"))
       .join(broadcast(expWithCols), col("term") === col("exp_term"))
       .select(col("block_id"), col("qti"), ubCol.as("ub"))
     val rangeUb = meta
       .groupBy(col("block_id"), col("qti")).agg(max(col("ub")).as("mub"))
       .groupBy(col("block_id")).agg(sum(col("mub")).as("ub"))
-    Some(WandPrep(raw, expDf, eterms, rangeUb))
+    Some(WandPrep(raw, expDf, blockPred, rangeUb))
   }
 
   /** Decoded block postings restricted to live docs (blocks still hold
@@ -163,8 +176,7 @@ object BlockMaxTopK {
     val probeIds = p.rangeUb.orderBy(col("ub").desc, col("block_id").asc)
       .limit(probeBlocks).select("block_id").collect().map(_.getLong(0)).toSeq
     val probeCand = liveCand(idx, PostingBlocks.toPostings(
-      blocks.toDF().filter(col("term").isin(p.eterms: _*) &&
-        col("block_id").isin(probeIds: _*)),
+      blocks.toDF().filter(p.blockPred && col("block_id").isin(probeIds: _*)),
       idx.numFields, blockSize))
     val probed = QueryEngine.scoreCandidates(
       idx, probeCand, p.expDf, model, fb, p.raw.length, k).collect()
@@ -191,7 +203,7 @@ object BlockMaxTopK {
         // ---- phase 2+3: prune ranges by θ, decode survivors, exact top-k ----
         val survivors = p.rangeUb.filter(col("ub") >= theta).select("block_id")
         val cand = liveCand(idx, PostingBlocks.toPostings(
-          blocks.toDF().filter(col("term").isin(p.eterms: _*))
+          blocks.toDF().filter(p.blockPred)
             .join(broadcast(survivors), Seq("block_id"), "left_semi"),
           idx.numFields, blockSize))
         QueryEngine.scoreCandidates(idx, cand, p.expDf, model, fb, p.raw.length, k)
