@@ -76,7 +76,21 @@ object BlockMaxTopK {
         * PARTITION-PRUNED to the query's buckets.
         */
       blockPred: org.apache.spark.sql.Column,
+      /** The (block_id, ub) table COLLECTED when it has at most
+        * [[MaxCollectedRanges]] rows — one row per range the expanded
+        * terms touch, i.e. tiny for any selective query — so the probe
+        * ordering, θ filter, and survivor set are all driver-side
+        * arithmetic instead of three more Spark jobs over the same
+        * re-computed metadata aggregation. None ⇒ use `rangeUb`.
+        */
+      rangeUbC: Option[Array[(Long, Double)]],
       rangeUb: DataFrame)
+
+  /** Collect cap for the per-range UB table (16 bytes/row ⇒ ≤ 4 MiB of
+    * driver heap). A hot term over 10^12 docs exceeds it (244M ranges);
+    * the DataFrame fallback handles that regime distributed.
+    */
+  val MaxCollectedRanges = 262144
 
   /** Phases 0–2 of the WAND plan (tokenize → expand → live-df → range
     * UBs). None ⇒ the caller must take the exhaustive path.
@@ -157,7 +171,12 @@ object BlockMaxTopK {
     val rangeUb = meta
       .groupBy(col("block_id"), col("qti")).agg(max(col("ub")).as("mub"))
       .groupBy(col("block_id")).agg(sum(col("mub")).as("ub"))
-    Some(WandPrep(raw, expDf, blockPred, rangeUb))
+    val ubRows = rangeUb.limit(MaxCollectedRanges + 1).collect()
+    val rangeUbC =
+      if (ubRows.length <= MaxCollectedRanges)
+        Some(ubRows.map(r => (r.getLong(0), r.getDouble(1))))
+      else None
+    Some(WandPrep(raw, expDf, blockPred, rangeUbC, rangeUb))
   }
 
   /** Decoded block postings restricted to live docs (blocks still hold
@@ -173,8 +192,13 @@ object BlockMaxTopK {
   private def thetaProbe(idx: InvertedIndex,
       blocks: Dataset[PostingBlocks.Block], p: WandPrep, model: ScoreModel,
       fb: Seq[Double], k: Int, blockSize: Long, probeBlocks: Int): Double = {
-    val probeIds = p.rangeUb.orderBy(col("ub").desc, col("block_id").asc)
-      .limit(probeBlocks).select("block_id").collect().map(_.getLong(0)).toSeq
+    val probeIds = p.rangeUbC match {
+      case Some(rs) => // same (ub desc, block_id asc) order, driver-side
+        rs.sortBy { case (id, ub) => (-ub, id) }.take(probeBlocks)
+          .map(_._1).toSeq
+      case None => p.rangeUb.orderBy(col("ub").desc, col("block_id").asc)
+        .limit(probeBlocks).select("block_id").collect().map(_.getLong(0)).toSeq
+    }
     val probeCand = liveCand(idx, PostingBlocks.toPostings(
       blocks.toDF().filter(p.blockPred && col("block_id").isin(probeIds: _*)),
       idx.numFields, blockSize))
@@ -201,11 +225,20 @@ object BlockMaxTopK {
       case Some(p) =>
         val theta = thetaProbe(idx, blocks, p, model, fb, k, blockSize, probeBlocks)
         // ---- phase 2+3: prune ranges by θ, decode survivors, exact top-k ----
-        val survivors = p.rangeUb.filter(col("ub") >= theta).select("block_id")
-        val cand = liveCand(idx, PostingBlocks.toPostings(
-          blocks.toDF().filter(p.blockPred)
-            .join(broadcast(survivors), Seq("block_id"), "left_semi"),
-          idx.numFields, blockSize))
+        val survBlocks = p.rangeUbC match {
+          case Some(rs) =>
+            // survivors as a literal predicate (Catalyst turns a large IN
+            // into an InSet hash lookup): row-group pruning on block_id,
+            // no extra join, no metadata-agg recompute
+            val surv = rs.collect { case (id, ub) if ub >= theta => id }.toSeq
+            blocks.toDF().filter(p.blockPred && col("block_id").isin(surv: _*))
+          case None =>
+            val survivors = p.rangeUb.filter(col("ub") >= theta).select("block_id")
+            blocks.toDF().filter(p.blockPred)
+              .join(broadcast(survivors), Seq("block_id"), "left_semi")
+        }
+        val cand = liveCand(idx,
+          PostingBlocks.toPostings(survBlocks, idx.numFields, blockSize))
         QueryEngine.scoreCandidates(idx, cand, p.expDf, model, fb, p.raw.length, k)
     }
   }
@@ -225,13 +258,19 @@ object BlockMaxTopK {
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
     prepare(idx, blocks, queryString, model, fb, maxCollectedExpansions,
       tokenizer).map { p0 =>
-      val p = p0.copy(rangeUb = p0.rangeUb.cache())
-      try {
-        val total = p.rangeUb.count()
-        val theta = thetaProbe(idx, blocks, p, model, fb, k, blockSize, probeBlocks)
-        val survivors = p.rangeUb.filter(col("ub") >= theta).count()
-        (total, survivors, theta)
-      } finally { p.rangeUb.unpersist(); () }
+      p0.rangeUbC match {
+        case Some(rs) =>
+          val theta = thetaProbe(idx, blocks, p0, model, fb, k, blockSize, probeBlocks)
+          (rs.length.toLong, rs.count(_._2 >= theta).toLong, theta)
+        case None =>
+          val p = p0.copy(rangeUb = p0.rangeUb.cache())
+          try {
+            val total = p.rangeUb.count()
+            val theta = thetaProbe(idx, blocks, p, model, fb, k, blockSize, probeBlocks)
+            val survivors = p.rangeUb.filter(col("ub") >= theta).count()
+            (total, survivors, theta)
+          } finally { p.rangeUb.unpersist(); () }
+      }
     }
   }
 }
