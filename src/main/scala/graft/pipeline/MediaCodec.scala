@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 import java.util.zip.{Adler32, CRC32}
 
@@ -47,11 +48,21 @@ object MediaCodec {
     * Total size = 68 + h·(w+1) bytes (8 sig + 25 IHDR + 12 IDAT framing +
     * 11 zlib framing + h·(w+1) stored bytes + 12 IEND).
     */
-  def encodePng(w: Int, h: Int): Array[Byte] = {
+  def encodePng(w: Int, h: Int): Array[Byte] =
+    encodePng(w, h, new Array[Byte](w * h))
+
+  /** Same encoder with caller-supplied grayscale pixels (row-major w·h). */
+  def encodePng(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
     require(w > 0 && h > 0 && h.toLong * (w + 1) <= 65535,
       "tiny-PNG encoder: one stored zlib block (raw size <= 65535)")
+    require(pixels.length == w * h, "pixels must be row-major w*h")
     val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0)
     val raw = new Array[Byte](h * (w + 1)) // per row: filter byte 0 + w px
+    var y = 0
+    while (y < h) {
+      System.arraycopy(pixels, y * w, raw, y * (w + 1) + 1, w)
+      y += 1
+    }
     // hand-rolled zlib stream (deterministic by construction): header
     // 0x78 0x01, ONE final stored block (0x01, len LE16, ~len), raw, adler32
     val n = raw.length
@@ -93,6 +104,84 @@ object MediaCodec {
     * DAC 0xCC), whose payload is [precision, height:2, width:2, ...].
     * None for anything unparseable.
     */
+  /** FULL pixel decode of an 8-bit GRAYSCALE, non-interlaced PNG — real
+    * end-to-end: chunk walk concatenating every IDAT payload, zlib inflate
+    * (JDK `Inflater`, so ANY conformant compressor's output works, not
+    * just [[encodePng]]'s stored blocks), and scanline de-filtering with
+    * all five PNG filter types (None/Sub/Up/Average/Paeth — an
+    * ImageIO-encoded gray PNG uses whichever its heuristic picks, and
+    * MediaCodecSpec pins pixel equality against `ImageIO.read`). Returns
+    * (w, h, row-major pixels); None for other color types / depths /
+    * interlaced images or any malformed stream (the caller falls back to
+    * a general decoder).
+    */
+  def decodeGray8Pixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (!(bytes.length >= 33 && bytes.take(8).sameElements(PngSig) &&
+        new String(bytes.slice(12, 16), StandardCharsets.US_ASCII) == "IHDR"))
+      return None
+    val w = i32(bytes, 16); val h = i32(bytes, 20)
+    val bitDepth = u8(bytes, 24); val colorType = u8(bytes, 25)
+    val interlace = u8(bytes, 28)
+    if (bitDepth != 8 || colorType != 0 || interlace != 0) return None
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None // 64 MB cap
+    // chunk walk: concatenate IDAT payloads until IEND
+    val idat = new ByteArrayOutputStream()
+    var i = 33 // 8 sig + 25 IHDR
+    var done = false
+    while (!done) {
+      if (i + 8 > bytes.length) return None
+      val len = i32(bytes, i)
+      if (len < 0 || i + 8 + len + 4 > bytes.length) return None
+      val typ = new String(bytes.slice(i + 4, i + 8), StandardCharsets.US_ASCII)
+      if (typ == "IDAT") idat.write(bytes, i + 8, len)
+      if (typ == "IEND") done = true
+      i += 8 + len + 4
+    }
+    // inflate to h scanlines of (filter byte + w pixels)
+    val stride = w + 1
+    val raw = new Array[Byte](h * stride)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // de-filter (bpp = 1)
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * stride) & 0xff
+      var x = 0
+      while (x < w) {
+        val r = raw(y * stride + 1 + x) & 0xff
+        val a = if (x > 0) out(y * w + x - 1) & 0xff else 0
+        val b = if (y > 0) out((y - 1) * w + x) & 0xff else 0
+        val c = if (x > 0 && y > 0) out((y - 1) * w + x - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => r
+          case 1 => r + a
+          case 2 => r + b
+          case 3 => r + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            r + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        out(y * w + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
   def decodeDims(bytes: Array[Byte]): Option[(String, Int, Int)] = {
     if (bytes.length >= 24 && bytes.take(8).sameElements(PngSig) &&
         new String(bytes.slice(12, 16), StandardCharsets.US_ASCII) == "IHDR")

@@ -11,12 +11,18 @@ import org.apache.spark.sql.types._
   * batch-shaped call per partition, so a real decoder amortizes model/codec
   * init across the batch).
   *
-  * The header decode is REAL ([[MediaCodec.decodeDims]] parses PNG IHDR and
-  * JPEG SOF bytes — the same parse any production dims extractor does, zero
-  * dependencies). What stays deliberately simple is the FEATURE stage: with
-  * no ML/vision runtime in this environment it emits a deterministic 8-bin
-  * byte histogram; a real embedding model drops into the same per-partition
-  * slot in [[decodeFeatures]] unchanged.
+  * Both the header decode AND the pixel decode are REAL:
+  * [[MediaCodec.decodeDims]] parses PNG IHDR / JPEG SOF bytes, and the
+  * feature stage decodes ACTUAL PIXELS — gray-8 PNGs through the
+  * zero-dependency [[MediaCodec.decodeGray8Pixels]] (inflate + all five
+  * scanline filters), everything else through the JDK's `ImageIO`
+  * (arbitrary color PNGs and real baseline JPEGs) — and emits an 8-bin
+  * LUMINANCE histogram over the decoded image. Only blobs no decoder
+  * accepts (e.g. the header-only synthetic JPEG stubs) fall back to a
+  * byte-value histogram of the encoded stream; the `feature_src` column
+  * says per row which path produced the vector, so a corrupt shard is
+  * visible, not hidden. An ML embedding model would replace
+  * [[pixelHistogram]] in the same per-partition slot.
   */
 object Multimodal {
 
@@ -27,10 +33,11 @@ object Multimodal {
     StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("feature", ArrayType(FloatType), nullable = false)))
+    StructField("feature", ArrayType(FloatType), nullable = false),
+    StructField("feature_src", StringType, nullable = false)))
 
-  /** Deterministic placeholder feature: 8-bin byte-value histogram ratios.
-    * Stands in for the model-forward pass of a real feature extractor.
+  /** Fallback feature for undecodable blobs: 8-bin byte-value histogram
+    * ratios over the ENCODED stream.
     */
   private[pipeline] def byteHistogram(bytes: Array[Byte]): Array[Float] = {
     val counts = new Array[Int](8)
@@ -39,6 +46,45 @@ object Multimodal {
     val n = math.max(bytes.length, 1).toFloat
     counts.map(_ / n)
   }
+
+  /** Real image feature: 8-bin luminance histogram over DECODED pixels
+    * (bin = value / 32).
+    */
+  private[pipeline] def pixelHistogram(pixels: Array[Byte]): Array[Float] = {
+    val counts = new Array[Int](8)
+    var i = 0
+    while (i < pixels.length) { counts((pixels(i) & 0xff) >> 5) += 1; i += 1 }
+    val n = math.max(pixels.length, 1).toFloat
+    counts.map(_ / n)
+  }
+
+  /** Decode to gray pixels: own PNG path first (deterministic, no AWT),
+    * then ImageIO (color PNG, real JPEG; luminance = (r+g+b)/3).
+    */
+  private def grayPixels(bytes: Array[Byte]): Option[(Array[Byte], String)] =
+    MediaCodec.decodeGray8Pixels(bytes).map { case (_, _, px) => (px, "png-pixels") }
+      .orElse {
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val out = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                out(y * w + x) = lum.toByte
+                x += 1
+              }
+              y += 1
+            }
+            Some((out, "imageio-pixels"))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
 
   /** Batch decode: input needs (doc_id: long, media: binary). Runs once per
     * partition over the whole iterator (batch shape), not per row. Blobs
@@ -50,12 +96,16 @@ object Multimodal {
     val src = media.select(col(id).cast("long").as("doc_id"), col(binCol).cast("binary").as("media"))
     implicit val enc = RowEncoder.encoderFor(featureSchema)
     src.mapPartitions { rows =>
-      // per-partition init of a real decoder/model would go here
+      // per-partition init of a heavier decoder/model would go here
       rows.map { r =>
         val docId = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
         val (fmt, w, h) = MediaCodec.decodeDims(bytes).getOrElse(("unknown", 0, 0))
-        Row(docId, bytes.length.toLong, fmt, w, h, byteHistogram(bytes).toSeq)
+        val (feature, srcTag) = grayPixels(bytes) match {
+          case Some((px, tag)) => (pixelHistogram(px), tag)
+          case None => (byteHistogram(bytes), "bytes")
+        }
+        Row(docId, bytes.length.toLong, fmt, w, h, feature.toSeq, srcTag)
       }
     }
   }

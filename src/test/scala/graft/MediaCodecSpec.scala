@@ -62,6 +62,50 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeGray8Pixels round-trips encodePng(pixels) exactly") {
+    for ((w, h) <- Seq((1, 1), (17, 9), (64, 127))) {
+      val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+      val bytes = MediaCodec.encodePng(w, h, px)
+      val got = MediaCodec.decodeGray8Pixels(bytes)
+      assert(got.isDefined, "own PNG must decode")
+      val (gw, gh, gp) = got.get
+      assert(gw == w && gh == h)
+      assert(gp.sameElements(px))
+    }
+  }
+
+  test("decodeGray8Pixels decodes real ImageIO gray PNGs (live filters) pixel-exact") {
+    // ImageIO's PNG writer deflate-compresses and picks scanline filters
+    // per row — decoding its output exercises inflate + Sub/Up/Avg/Paeth,
+    // not just our own stored-block zlib with filter 0
+    for ((w, h) <- Seq((16, 16), (61, 33))) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = (x * x + 3 * y + (x * y) % 7) % 256
+        img.getRaster.setSample(x, y, 0, v)
+      }
+      val out = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      val got = MediaCodec.decodeGray8Pixels(out.toByteArray)
+      assert(got.isDefined, "ImageIO gray PNG must decode")
+      val (gw, gh, gp) = got.get
+      assert(gw == w && gh == h)
+      for (x <- 0 until w; y <- 0 until h)
+        assert((gp(y * w + x) & 0xff) == img.getRaster.getSample(x, y, 0),
+          s"pixel ($x,$y)")
+    }
+  }
+
+  test("decodeGray8Pixels refuses color/truncated/garbage input, never throws") {
+    val cases = Seq(
+      imageIoBytes("png", 8, 8),                    // RGB color type ⇒ None
+      MediaCodec.encodePng(10, 10).take(40),        // truncated after IHDR
+      MediaCodec.encodeJpeg(10, 10),                // not a PNG
+      Array.empty[Byte])
+    for (c <- cases) assert(MediaCodec.decodeGray8Pixels(c).isEmpty)
+  }
+
   test("garbage and truncated inputs return None, never throw") {
     val cases = Seq(
       Array.empty[Byte],

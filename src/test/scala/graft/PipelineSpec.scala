@@ -164,6 +164,16 @@ class PipelineSpec extends TestBase {
       assert(r.getInt(3) == 64 + (txt(0) & 0xff) % 64)
       assert(r.getInt(4) == 64 + (txt(1) & 0xff) % 64)
       assert(r.getSeq[Float](5).length == 8)
+      if (r.getString(2) == "png") {
+        // synthetic PNGs hold all-zero pixels and must take the REAL
+        // pixel-decode path: luminance histogram = 100% in bin 0
+        assert(r.getString(6) == "png-pixels")
+        assert(math.abs(r.getSeq[Float](5).head - 1.0f) < 1e-6)
+      } else {
+        // the header-only JPEG stub has no scan data: every decoder
+        // refuses it and the byte-histogram fallback is TAGGED as such
+        assert(r.getString(6) == "bytes")
+      }
     }
   }
 }
