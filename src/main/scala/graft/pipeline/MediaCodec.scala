@@ -131,7 +131,9 @@ object MediaCodec {
     while (!done) {
       if (i + 8 > bytes.length) return None
       val len = i32(bytes, i)
-      if (len < 0 || i + 8 + len + 4 > bytes.length) return None
+      // bounds check in Long: a hostile length near Int.MaxValue must not
+      // wrap the sum negative and slip past the guard
+      if (len < 0 || i.toLong + 8L + len + 4L > bytes.length) return None
       val typ = new String(bytes.slice(i + 4, i + 8), StandardCharsets.US_ASCII)
       if (typ == "IDAT") idat.write(bytes, i + 8, len)
       if (typ == "IEND") done = true

@@ -96,7 +96,10 @@ object Multimodal {
     val src = media.select(col(id).cast("long").as("doc_id"), col(binCol).cast("binary").as("media"))
     implicit val enc = RowEncoder.encoderFor(featureSchema)
     src.mapPartitions { rows =>
-      // per-partition init of a heavier decoder/model would go here
+      // per-partition init: ImageIO's default stream cache spools every
+      // read through an executor temp FILE — pure syscall overhead for
+      // in-memory byte arrays; a heavier decoder/model would init here too
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val docId = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)

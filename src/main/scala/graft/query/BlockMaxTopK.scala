@@ -76,14 +76,18 @@ object BlockMaxTopK {
         * PARTITION-PRUNED to the query's buckets.
         */
       blockPred: org.apache.spark.sql.Column,
-      /** The (block_id, ub) table COLLECTED when it has at most
-        * [[MaxCollectedRanges]] rows — one row per range the expanded
-        * terms touch, i.e. tiny for any selective query — so the probe
-        * ordering, θ filter, and survivor set are all driver-side
-        * arithmetic instead of three more Spark jobs over the same
-        * re-computed metadata aggregation. None ⇒ use `rangeUb`.
+      /** The highest-UB prefix of the (block_id, ub) table, ordered
+        * (ub desc, block_id asc), collected by ONE job. When `complete`
+        * it is the WHOLE table (one row per range the expanded terms
+        * touch — tiny for any selective query) and the θ filter and
+        * survivor set are driver-side arithmetic; when the table
+        * overflows [[MaxCollectedRanges]] the prefix still seeds the
+        * probe (the top ranges by UB are by definition in it) and only
+        * the survivor filter re-runs the aggregation — the same two
+        * passes the non-collected design paid, never three.
         */
-      rangeUbC: Option[Array[(Long, Double)]],
+      topRanges: Array[(Long, Double)],
+      complete: Boolean,
       rangeUb: DataFrame)
 
   /** Collect cap for the per-range UB table (16 bytes/row ⇒ ≤ 4 MiB of
@@ -108,38 +112,16 @@ object BlockMaxTopK {
     if (qterms.isEmpty) return None
 
     // resolve expansions against the dictionary; need them collected to
-    // broadcast per-term UB factors into the block metadata scan
-    val prefixPred = qterms.map { case (_, t) => col("term").startsWith(lit(t)) }.reduce(_ || _)
-    val qdf = qterms.toSeq.toDF("qti", "qterm")
-    val bucketCol = if (idx.termdict.columns.contains("bucket")) col("bucket") else lit(-1)
-    val collected = idx.termdict.filter(prefixPred)
-      .join(broadcast(qdf), col("term").startsWith(col("qterm")))
-      .select(col("qti"), col("qterm"), col("term").as("exp_term"),
-        col("df").cast("long").as("df"), bucketCol.cast("int").as("bucket"))
-      .limit(maxCollectedExpansions + 1).collect()
-    if (collected.isEmpty || collected.length > maxCollectedExpansions) return None
-
-    var tuples = collected.toSeq
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-    if (idx.hasTombstones) {
-      // dictionary df is stale under tombstones: recount over LIVE
-      // postings of the expanded terms only (bucket predicate prunes
-      // partitions on a persisted index). Terms whose live df hits 0 drop
-      // out — the reference's df>0 guard.
-      val eterms0 = collected.map(_.getString(2)).distinct.toSeq
-      val hasBucket = idx.postings.columns.contains("bucket")
-      val termPred0 = col("term").isin(eterms0: _*)
-      val pred =
-        if (hasBucket) col("bucket").isin(collected.map(_.getInt(4)).distinct.toSeq: _*) && termPred0
-        else termPred0
-      val liveDf = idx.livePostings.filter(pred)
-        .groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      tuples = tuples.flatMap { case (qti, qterm, eterm, _) =>
-        liveDf.get(eterm).map(d => (qti, qterm, eterm, d))
+    // broadcast per-term UB factors into the block metadata scan. SHARED
+    // with the exhaustive collected path (QueryEngine.resolveExpansionsCollected
+    // — same collect cap, same tombstone live-df recount, same df>0 drop)
+    // so the two plans cannot drift in expansion/df semantics.
+    val (tuples, ebuckets) =
+      QueryEngine.resolveExpansionsCollected(idx, qterms, maxCollectedExpansions) match {
+        case None => return None          // over cap → exhaustive fallback
+        case Some((rows, _)) if rows.isEmpty => return None // nothing live
+        case Some((rows, buckets)) => (rows, buckets)
       }
-      if (tuples.isEmpty) return None
-    }
     val expDf = tuples.toDF("qti", "qterm", "exp_term", "df")
 
     val stats = idx.fieldStats() // live-recomputed under tombstones
@@ -153,10 +135,10 @@ object BlockMaxTopK {
       case None => return None
     }
     val eterms = tuples.map(_._3).distinct
-    val ebuckets = collected.map(_.getInt(4)).distinct.toSeq
     val blockPred = {
       val tp = col("term").isin(eterms: _*)
-      if (blocks.columns.contains("bucket") && ebuckets.forall(_ >= 0))
+      if (blocks.columns.contains("bucket") && ebuckets.nonEmpty &&
+          ebuckets.forall(_ >= 0))
         col("bucket").isin(ebuckets: _*) && tp
       else tp
     }
@@ -171,12 +153,11 @@ object BlockMaxTopK {
     val rangeUb = meta
       .groupBy(col("block_id"), col("qti")).agg(max(col("ub")).as("mub"))
       .groupBy(col("block_id")).agg(sum(col("mub")).as("ub"))
-    val ubRows = rangeUb.limit(MaxCollectedRanges + 1).collect()
-    val rangeUbC =
-      if (ubRows.length <= MaxCollectedRanges)
-        Some(ubRows.map(r => (r.getLong(0), r.getDouble(1))))
-      else None
-    Some(WandPrep(raw, expDf, blockPred, rangeUbC, rangeUb))
+    val ubRows = rangeUb.orderBy(col("ub").desc, col("block_id").asc)
+      .limit(MaxCollectedRanges + 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    Some(WandPrep(raw, expDf, blockPred, ubRows,
+      complete = ubRows.length <= MaxCollectedRanges, rangeUb))
   }
 
   /** Decoded block postings restricted to live docs (blocks still hold
@@ -192,13 +173,8 @@ object BlockMaxTopK {
   private def thetaProbe(idx: InvertedIndex,
       blocks: Dataset[PostingBlocks.Block], p: WandPrep, model: ScoreModel,
       fb: Seq[Double], k: Int, blockSize: Long, probeBlocks: Int): Double = {
-    val probeIds = p.rangeUbC match {
-      case Some(rs) => // same (ub desc, block_id asc) order, driver-side
-        rs.sortBy { case (id, ub) => (-ub, id) }.take(probeBlocks)
-          .map(_._1).toSeq
-      case None => p.rangeUb.orderBy(col("ub").desc, col("block_id").asc)
-        .limit(probeBlocks).select("block_id").collect().map(_.getLong(0)).toSeq
-    }
+    // topRanges is already (ub desc, block_id asc)-ordered — no job here
+    val probeIds = p.topRanges.take(probeBlocks).map(_._1).toSeq
     val probeCand = liveCand(idx, PostingBlocks.toPostings(
       blocks.toDF().filter(p.blockPred && col("block_id").isin(probeIds: _*)),
       idx.numFields, blockSize))
@@ -225,18 +201,18 @@ object BlockMaxTopK {
       case Some(p) =>
         val theta = thetaProbe(idx, blocks, p, model, fb, k, blockSize, probeBlocks)
         // ---- phase 2+3: prune ranges by θ, decode survivors, exact top-k ----
-        val survBlocks = p.rangeUbC match {
-          case Some(rs) =>
+        val survBlocks =
+          if (p.complete) {
             // survivors as a literal predicate (Catalyst turns a large IN
             // into an InSet hash lookup): row-group pruning on block_id,
             // no extra join, no metadata-agg recompute
-            val surv = rs.collect { case (id, ub) if ub >= theta => id }.toSeq
+            val surv = p.topRanges.collect { case (id, ub) if ub >= theta => id }.toSeq
             blocks.toDF().filter(p.blockPred && col("block_id").isin(surv: _*))
-          case None =>
+          } else {
             val survivors = p.rangeUb.filter(col("ub") >= theta).select("block_id")
             blocks.toDF().filter(p.blockPred)
               .join(broadcast(survivors), Seq("block_id"), "left_semi")
-        }
+          }
         val cand = liveCand(idx,
           PostingBlocks.toPostings(survBlocks, idx.numFields, blockSize))
         QueryEngine.scoreCandidates(idx, cand, p.expDf, model, fb, p.raw.length, k)
@@ -257,19 +233,15 @@ object BlockMaxTopK {
       tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): Option[(Long, Long, Double)] = {
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
     prepare(idx, blocks, queryString, model, fb, maxCollectedExpansions,
-      tokenizer).map { p0 =>
-      p0.rangeUbC match {
-        case Some(rs) =>
-          val theta = thetaProbe(idx, blocks, p0, model, fb, k, blockSize, probeBlocks)
-          (rs.length.toLong, rs.count(_._2 >= theta).toLong, theta)
-        case None =>
-          val p = p0.copy(rangeUb = p0.rangeUb.cache())
-          try {
-            val total = p.rangeUb.count()
-            val theta = thetaProbe(idx, blocks, p, model, fb, k, blockSize, probeBlocks)
-            val survivors = p.rangeUb.filter(col("ub") >= theta).count()
-            (total, survivors, theta)
-          } finally { p.rangeUb.unpersist(); () }
+      tokenizer).map { p =>
+      val theta = thetaProbe(idx, blocks, p, model, fb, k, blockSize, probeBlocks)
+      if (p.complete)
+        (p.topRanges.length.toLong, p.topRanges.count(_._2 >= theta).toLong, theta)
+      else {
+        val cached = p.rangeUb.cache()
+        try {
+          (cached.count(), cached.filter(col("ub") >= theta).count(), theta)
+        } finally { cached.unpersist(); () }
       }
     }
   }

@@ -70,49 +70,92 @@ object QueryEngine {
     val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
     if (qterms.isEmpty) return emptyResult(spark)
 
-    val prefixPred = qterms.map { case (_, t) => col("term").startsWith(lit(t)) }.reduce(_ || _)
-    val hasBucket = idx.postings.columns.contains("bucket")
-    val qdf = qterms.toSeq.toDF("qti", "qterm")
+    resolveExpansionsCollected(idx, qterms, maxCollectedExpansions) match {
+      case Some((rows, buckets)) =>
+        if (rows.isEmpty) return emptyResult(spark)
+        val cand0 = idx.livePostings
+          .filter(candidatePredicate(idx, rows.map(_._3).distinct, buckets))
+        val expDf = rows.toDF("qti", "qterm", "exp_term", "df")
+        scoreCandidates(idx, cand0, expDf, model, fb, raw.length, limit)
 
-    // Resolve the expansion sets against the dictionary (reference
-    // expand_term). Collected when small → literal pruning predicates.
+      case None =>
+        // unbounded expansion (over the collect cap): keep everything as
+        // a DataFrame — startsWith scan predicate, no driver round trip
+        val prefixPred = qterms.map { case (_, t) => col("term").startsWith(lit(t)) }.reduce(_ || _)
+        val qdf = qterms.toSeq.toDF("qti", "qterm")
+        val exp = idx.termdict.filter(prefixPred)
+          .join(broadcast(qdf), col("term").startsWith(col("qterm")))
+          .select(col("qti"), col("qterm"), col("term").as("exp_term"),
+            col("df").cast("long").as("df"))
+        val cand0 = idx.livePostings.filter(prefixPred)
+        // live-df recount under tombstones (mirrors the collected path's
+        // recount inside resolveExpansionsCollected)
+        val expLive =
+          if (idx.hasTombstones) {
+            val liveDf = cand0.groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
+            exp.drop("df").join(liveDf, col("exp_term") === col("term"))
+              .select(col("qti"), col("qterm"), col("exp_term"), col("ldf").as("df"))
+          } else exp
+        scoreCandidates(idx, cand0, expLive, model, fb, raw.length, limit)
+    }
+  }
+
+  /** Posting-scan predicate for a resolved expansion set: `term IN (…)`,
+    * plus `bucket IN (…)` when both sides carry the hash-bucket column —
+    * partition pruning on a persisted index.
+    */
+  private[graft] def candidatePredicate(idx: InvertedIndex,
+      eterms: Seq[String], buckets: Seq[Int]): Column = {
+    val termPred = col("term").isin(eterms: _*)
+    if (idx.postings.columns.contains("bucket") && buckets.nonEmpty &&
+        buckets.forall(_ >= 0))
+      col("bucket").isin(buckets: _*) && termPred
+    else termPred
+  }
+
+  /** Expansion resolution against the dictionary (reference expand_term),
+    * COLLECTED to the driver — the shared phase-0 of the exhaustive
+    * collected path and [[BlockMaxTopK]], so the two plans can never
+    * drift in expansion/df semantics.
+    *
+    * Returns None when the expansion set exceeds `cap` (callers keep
+    * their non-collected fallback). Otherwise
+    * `(rows = (qti, qterm, exp_term, LIVE df), dictionary buckets)`:
+    * under tombstones the dictionary df is stale, so df is recounted over
+    * live candidate postings (reference count_documents skips removed
+    * pointers at query time, /root/reference/src/index.rs:281-297) and
+    * terms whose live df hits 0 drop out — the reference's df>0 guard.
+    * `buckets` covers ALL collected expansions (a superset after the
+    * recount drop — sound for scan pruning).
+    */
+  private[graft] def resolveExpansionsCollected(idx: InvertedIndex,
+      qterms: Seq[(Int, String)],
+      cap: Int): Option[(Seq[(Int, String, String, Long)], Seq[Int])] = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val prefixPred = qterms.map { case (_, t) => col("term").startsWith(lit(t)) }.reduce(_ || _)
+    val qdf = qterms.toSeq.toDF("qti", "qterm")
     val bucketCol = if (idx.termdict.columns.contains("bucket")) col("bucket") else lit(-1)
-    val expAll = idx.termdict.filter(prefixPred)
+    val collected = idx.termdict.filter(prefixPred)
       .join(broadcast(qdf), col("term").startsWith(col("qterm")))
       .select(col("qti"), col("qterm"), col("term").as("exp_term"),
         col("df").cast("long").as("df"), bucketCol.cast("int").as("bucket"))
-    val collected = expAll.limit(maxCollectedExpansions + 1).collect()
-
-    val (cand0, exp) =
-      if (collected.length <= maxCollectedExpansions) {
-        if (collected.isEmpty) return emptyResult(spark)
-        val eterms = collected.map(_.getString(2)).distinct.toSeq
-        val termPred = col("term").isin(eterms: _*)
-        val pred =
-          if (hasBucket) col("bucket").isin(collected.map(_.getInt(4)).distinct.toSeq: _*) && termPred
-          else termPred
-        val expDf = collected.toSeq
-          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-          .toDF("qti", "qterm", "exp_term", "df")
-        (idx.livePostings.filter(pred), expDf)
-      } else {
-        // unbounded expansion: keep everything as a DataFrame
-        (idx.livePostings.filter(prefixPred),
-          expAll.select(col("qti"), col("qterm"), col("exp_term"), col("df")))
+      .limit(cap + 1).collect()
+    if (collected.length > cap) return None
+    var rows = collected.toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val buckets = collected.map(_.getInt(4)).distinct.toSeq
+    if (idx.hasTombstones && rows.nonEmpty) {
+      val eterms = rows.map(_._3).distinct
+      val liveDf = idx.livePostings
+        .filter(candidatePredicate(idx, eterms, buckets))
+        .groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows = rows.flatMap { case (qti, qterm, eterm, _) =>
+        liveDf.get(eterm).map(d => (qti, qterm, eterm, d))
       }
-
-    // With tombstones present the dictionary df is stale: recount over LIVE
-    // candidate postings (reference count_documents skips removed pointers
-    // at query time, /root/reference/src/index.rs:281-297). Terms whose
-    // live df hits 0 drop out — same as the reference's df>0 guard.
-    val expLive =
-      if (idx.hasTombstones) {
-        val liveDf = cand0.groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
-        exp.drop("df").join(liveDf, col("exp_term") === col("term"))
-          .select(col("qti"), col("qterm"), col("exp_term"), col("ldf").as("df"))
-      } else exp
-
-    scoreCandidates(idx, cand0, expLive, model, fb, raw.length, limit)
+    }
+    Some((rows, buckets))
   }
 
   /** Score a candidate-postings DataFrame against a resolved expansion set:

@@ -57,8 +57,8 @@ object AnnRecall {
         case 1 => 1 + nBits
         case 2 => 1 + nBits + nBits * (nBits - 1) / 2
       }
-      f""""h$h":{"recall_at_$k":${hit.toDouble / tot}%.4f,"buckets_probed":$buckets,""" +
-        f""""of_buckets":${1 << nBits},"avg_candidates":${cand / queries.length}}"""
+      f""""h$h":{"recall_at_$k":${hit.toDouble / math.max(tot, 1)}%.4f,"buckets_probed":$buckets,""" +
+        f""""of_buckets":${1 << nBits},"avg_candidates":${cand.toDouble / math.max(queries.length, 1)}%.1f}"""
     }
     println(s"""{"dir":"$dir","k":$k,"n_bits":$nBits,"n_vectors":$n,"n_queries":${queries.length},${rows.mkString(",")}}""")
     spark.stop()

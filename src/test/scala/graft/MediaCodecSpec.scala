@@ -98,10 +98,19 @@ class MediaCodecSpec extends AnyFunSuite {
   }
 
   test("decodeGray8Pixels refuses color/truncated/garbage input, never throws") {
+    // a chunk header claiming a near-Int.MaxValue length must fail the
+    // bounds check, not wrap it negative and index out of bounds
+    val huge = {
+      val b = MediaCodec.encodePng(10, 10).clone()
+      b(33) = 0x7f.toByte; b(34) = 0xff.toByte // first chunk after IHDR:
+      b(35) = 0xff.toByte; b(36) = 0xf8.toByte // len := 0x7ffffff8
+      b
+    }
     val cases = Seq(
       imageIoBytes("png", 8, 8),                    // RGB color type ⇒ None
       MediaCodec.encodePng(10, 10).take(40),        // truncated after IHDR
       MediaCodec.encodeJpeg(10, 10),                // not a PNG
+      huge,
       Array.empty[Byte])
     for (c <- cases) assert(MediaCodec.decodeGray8Pixels(c).isEmpty)
   }
