@@ -206,10 +206,46 @@ object Dedup {
     * tiny `count` per iteration for the fixpoint check, never the data.
     * No GraphX dependency, plain DataFrame ops, AQE-compatible.
     */
+  /** Edge-count cap for the driver-side union-find fast path: 1M edges ≈
+    * 16 MB of driver heap. A near-dup pair graph under the cap is solved
+    * in microseconds of driver CPU instead of ~4 Spark jobs per
+    * propagation round; above it the distributed loop takes over.
+    */
+  val MaxCollectedEdges: Int = 1 << 20
+
   def components(pairs: DataFrame, maxIter: Int = 20,
-      scope: CacheScope = CacheScope.global): DataFrame = {
+      scope: CacheScope = CacheScope.global,
+      maxCollectedEdges: Int = MaxCollectedEdges): DataFrame = {
     val a = pairs.columns(0); val b = pairs.columns(1)
     val e0 = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+    if (maxCollectedEdges > 0) {
+      val collected = e0.limit(maxCollectedEdges + 1).collect()
+      if (collected.length <= maxCollectedEdges) {
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        // path-compressed union-find, then normalize every root to the
+        // MINIMUM member id — identical labels to the propagation loop
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        collected.foreach { row =>
+          val (s, d) = (row.getLong(0), row.getLong(1))
+          parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+          val (rs, rd) = (find(s), find(d))
+          if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+        }
+        val out = parent.keys.toArray.map(v => (v, find(v)))
+        return out.toSeq.toDF("id", "component")
+      }
+      // fell through: over the cap — run distributed (the collect cost is
+      // one pass over the edge list, which the loop's first join pays
+      // anyway)
+    }
     // symmetrize once; feeds every iteration's join
     val edges = scope.cut(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())

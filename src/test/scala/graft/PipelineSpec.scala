@@ -31,12 +31,18 @@ class PipelineSpec extends TestBase {
       (5L, 6L),                                       // pair
       (20L, 21L), (21L, 22L), (20L, 22L)              // triangle
     ).toDF("id_a", "id_b")
-    val got = Dedup.components(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(
+    val want = Map(
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
       5L -> 5L, 6L -> 5L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L))
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // driver union-find fast path (default) AND the distributed
+    // propagation loop (forced by a zero collect cap) must agree exactly
+    val fast = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.components(pairs, maxCollectedEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == want)
+    assert(dist == want)
   }
 
   test("dropNearDups keeps the canonical member per cluster + singletons") {
