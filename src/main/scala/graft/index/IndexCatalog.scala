@@ -448,10 +448,23 @@ object IndexCatalog {
     * lazy-delete): the tombstone set is appended as a parquet write of a
     * DISTRIBUTED id set — a predicate-derived removal of 10^11 docs never
     * transits the driver. The first column of `ids` is the doc key.
+    *
+    * A CRASHED VACUUM must be completed first: while `vacuum.pending` is
+    * set, the compacted stage tables already exclude exactly the
+    * tombstones that existed at stage time, and the resumed vacuum's
+    * final commit deletes the tombstones file wholesale — a tombstone
+    * appended in between would be dropped WITHOUT its postings ever
+    * being compacted away (a silently resurrected doc). Finishing the
+    * vacuum first restores the invariant the commit relies on:
+    * tombstones == the staged compaction's input set.
     */
-  def removeDocuments(root: String, ids: DataFrame): Unit =
+  def removeDocuments(root: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    if (readManifest(spark, root).getOrElse("vacuum.pending", "") == "true")
+      vacuum(spark, root)
     ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .write.mode("append").parquet(s"$root/tombstones")
+  }
 
   /** Driver-side convenience overload (small ad-hoc removals). */
   def removeDocuments(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {

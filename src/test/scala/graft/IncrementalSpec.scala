@@ -177,6 +177,32 @@ class IncrementalSpec extends TestBase {
       .contains("vacuum.pending"))
   }
 
+  test("remove after a crashed vacuum completes the vacuum first") {
+    // without the guard, the tombstone appended AFTER the crash is
+    // deleted by the resumed vacuum's final commit while its postings —
+    // never part of the staged compaction — survive: a silently
+    // resurrected document
+    val root = Files.createTempDirectory("graft_incr7_").toString
+    IndexCatalog.build(batch(batchA ++ batchB), "id",
+      Seq("title", "description"), root, nBuckets = 8)
+    IndexCatalog.removeDocuments(spark, root, Seq(0L))
+    IndexCatalog.vacuum(spark, root, crashBeforeCommit = true)
+    IndexCatalog.removeDocuments(spark, root, Seq(2L)) // must finish it first
+    IndexCatalog.vacuum(spark, root)
+    val idx = IndexCatalog.read(spark, root)
+    val full = IndexBuilder.build(
+      batch((batchA ++ batchB).filterNot(r => r._1 == 0L || r._1 == 2L)),
+      "id", Seq("title", "description"))
+    assert(idx.docstats.count() == 2)
+    assert(idx.termdict.select("term", "df").exceptAll(full.termdict).count() == 0 &&
+      full.termdict.exceptAll(idx.termdict.select("term", "df")).count() == 0)
+    val a = QueryEngine.query(idx, "abc", BM25()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = QueryEngine.query(full, "abc", BM25()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("manifest delete-then-rename crash window is recoverable") {
     val root = Files.createTempDirectory("graft_mrec_").toString
     IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 4)

@@ -31,12 +31,15 @@ object LifecycleProps extends Properties("Lifecycle") {
   sealed trait Op
   case class Append(crash: Boolean) extends Op
   case class Remove(pick: Int) extends Op
-  case object Vacuum extends Op
+  /** crash = die AFTER the stage rewrites, BEFORE the final commit — the
+    * vacuum.pending state every later writer must complete first.
+    */
+  case class Vacuum(crash: Boolean) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> Gen.oneOf(true, false).map(Append(_)),
     3 -> Gen.choose(0, Int.MaxValue).map(Remove(_)),
-    2 -> Gen.const(Vacuum))
+    2 -> Gen.oneOf(true, false).map(Vacuum(_)))
 
   private val caseGen = for {
     n <- Gen.choose(8, 16)
@@ -86,8 +89,8 @@ object LifecycleProps extends Properties("Lifecycle") {
             IndexCatalog.removeDocuments(spark, root, Seq(id))
             live = live - id
           }
-        case Vacuum =>
-          IndexCatalog.vacuum(spark, root)
+        case Vacuum(crash) =>
+          IndexCatalog.vacuum(spark, root, crashBeforeCommit = crash)
       }
       IndexCatalog.resumeAppend(spark, root) // land any trailing crash
       val got = IndexCatalog.read(spark, root)
