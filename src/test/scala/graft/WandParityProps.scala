@@ -88,6 +88,31 @@ object WandParityProps extends Properties("WandParity") {
     wand == exact && (stats.isDefined || exact.isEmpty)
   }
 
+  /** The per-field boost enters the block bound multiplicatively
+    * (tfn(maxTf,minFl)·boost per field); random POSITIVE boosts over a
+    * 2-field corpus pin that the bound stays dominating for any boost
+    * vector the engine accepts on this path (negative boosts fall back —
+    * BlockMaxSpec).
+    */
+  property("blockMax == exhaustive with random positive boosts (2 fields)") =
+    forAll(corpusGen, corpusGen, queryGen, Gen.choose(1, 8),
+      Gen.choose(1, 30), Gen.choose(1, 30)) { (t1, t2, q, k, b1, b2) =>
+      import spark.implicits._
+      val n = math.max(t1.size, t2.size)
+      val df = (0 until n).map(i =>
+        (i.toLong, t1.lift(i).getOrElse(""), t2.lift(i).getOrElse("")))
+        .toDF("id", "title", "body")
+      val idx = IndexBuilder.build(df, "id", Seq("title", "body"))
+      val blocks = PostingBlocks.fromPostings(idx.postings, 2, blockSize = 8)
+      val boosts = Seq(b1 / 10.0, b2 / 10.0)
+      val exact = QueryEngine.query(idx, q, BM25(), boosts = boosts, limit = k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val wand = BlockMaxTopK.query(idx, blocks, q, BM25(), boosts = boosts,
+        k = k, blockSize = 8, probeBlocks = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      wand == exact
+    }
+
   property("blockMax == exhaustive under tombstones, pruning live (BM25)") =
     forAll(corpusGen, queryGen, Gen.choose(1, 8), Gen.choose(2, 4)) {
       (docs, q, k, mod) => parityTombstoned(docs, q, k, mod, BM25())
