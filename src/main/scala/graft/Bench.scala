@@ -77,16 +77,18 @@ object Bench {
         runBuild(spark, nFiles, root); IndexCatalog.read(spark, root)
     }
     IndexCatalog.buildBlocks(spark, root)
-    val (blocksRaw, bs) = IndexCatalog.readBlocks(spark, root)
+    val (blocksRaw, bs, rpg) = IndexCatalog.readBlocks(spark, root)
     val blocks = blocksRaw.cache()
     blocks.count()
     idx.termdict.cache().count()
     QuerySet.foreach(q => graft.query.BlockMaxTopK
-      .query(idx, blocks, q, BM25(), k = 10, blockSize = bs).collect())
+      .query(idx, blocks, q, BM25(), k = 10, blockSize = bs,
+        rangesPerGroup = rpg).collect())
     val times = for (_ <- 1 to reps; q <- QuerySet) yield {
       val t0 = System.nanoTime()
       graft.query.BlockMaxTopK
-        .query(idx, blocks, q, BM25(), k = 10, blockSize = bs).collect()
+        .query(idx, blocks, q, BM25(), k = 10, blockSize = bs,
+          rangesPerGroup = rpg).collect()
       (System.nanoTime() - t0) / 1e9
     }
     blocks.unpersist(); idx.termdict.unpersist()
@@ -104,10 +106,17 @@ object Bench {
     * Reports per-variant exhaustive/WAND p50 plus the noise-free
     * pruningStats survivor counts, as one JSON fragment.
     */
+  /** Cache-recipe fingerprint for the /tmp corpus+index artifacts: bump
+    * whenever the tiered generator, minting key, or index/block layout
+    * changes — a `_SUCCESS`-only check would silently reuse data built by
+    * the OLD recipe and report its numbers (round-4 ADVICE).
+    */
+  val CacheRecipe = "r5a"
+
   def corpusTableTiered(spark: SparkSession, nFiles: Long,
       ordered: Boolean): String = {
     import org.apache.spark.sql.functions._
-    val dir = s"/tmp/graft_bench_tier_${nFiles}_" + (if (ordered) "ord" else "rnd")
+    val dir = s"/tmp/graft_bench_tier_${CacheRecipe}_${nFiles}_" + (if (ordered) "ord" else "rnd")
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))) {
@@ -141,7 +150,7 @@ object Bench {
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     val parts = for (ordered <- Seq(false, true)) yield {
       val tag = if (ordered) "ordered" else "unordered"
-      val root = s"/tmp/graft_bench_tieridx_${nFiles}_" + (if (ordered) "ord" else "rnd")
+      val root = s"/tmp/graft_bench_tieridx_${CacheRecipe}_${nFiles}_" + (if (ordered) "ord" else "rnd")
       val idx = try IndexCatalog.read(spark, root) catch {
         case _: IllegalArgumentException | _: org.apache.spark.sql.AnalysisException =>
           IndexCatalog.build(
@@ -150,13 +159,13 @@ object Bench {
           IndexCatalog.read(spark, root)
       }
       IndexCatalog.buildBlocks(spark, root)
-      val (blocksRaw, bs) = IndexCatalog.readBlocks(spark, root)
+      val (blocksRaw, bs, rpg) = IndexCatalog.readBlocks(spark, root)
       val blocks = blocksRaw.cache(); blocks.count()
       idx.termdict.cache().count()
       val qparts = QuerySet.map { q =>
         QueryEngine.query(idx, q, BM25(), limit = 10).collect() // warm
         graft.query.BlockMaxTopK.query(idx, blocks, q, BM25(), k = 10,
-          blockSize = bs).collect()
+          blockSize = bs, rangesPerGroup = rpg).collect()
         val ex = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           QueryEngine.query(idx, q, BM25(), limit = 10).collect()
@@ -165,11 +174,12 @@ object Bench {
         val wd = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           graft.query.BlockMaxTopK.query(idx, blocks, q, BM25(), k = 10,
-            blockSize = bs).collect()
+            blockSize = bs, rangesPerGroup = rpg).collect()
           (System.nanoTime() - t0) / 1e9
         }
         val pr = graft.query.BlockMaxTopK
-          .pruningStats(idx, blocks, q, BM25(), k = 10, blockSize = bs)
+          .pruningStats(idx, blocks, q, BM25(), k = 10, blockSize = bs,
+            rangesPerGroup = rpg)
           .map { case (t, s, _) => s"""{"ranges":$t,"survive":$s}""" }
           .getOrElse("null")
         f""""$q":{"exh_p50":${median(ex)}%.3f,"wand_p50":${median(wd)}%.3f,"prune":$pr}"""

@@ -93,8 +93,8 @@ object IndexCache {
     * posting, stale df/stats, stale block) breaks the hash.
     */
   private val vacCache = TrieMap.empty[String,
-    (InvertedIndex, org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long)]
-  def documentsVacuumed(spark: SparkSession, dir: String): (InvertedIndex, org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long) =
+    (InvertedIndex, org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long, Long)]
+  def documentsVacuumed(spark: SparkSession, dir: String): (InvertedIndex, org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long, Long) =
     vacCache.getOrElseUpdate(dir, {
       val root = s"/tmp/graft_gate_vac_${sanitize(dir)}"
       wipe(spark, root)
@@ -105,8 +105,35 @@ object IndexCache {
       graft.index.IndexCatalog.vacuum(spark, root)
       graft.index.IndexCatalog.buildBlocks(spark, root)
       val idx = graft.index.IndexCatalog.read(spark, root)
-      val (blocks, bs) = graft.index.IndexCatalog.readBlocks(spark, root)
-      (idx, blocks, bs)
+      val (blocks, bs, rpg) = graft.index.IndexCatalog.readBlocks(spark, root)
+      (idx, blocks, bs, rpg)
+    })
+
+  /** The INCREMENTAL block-maintenance lifecycle under the gate (q43):
+    * build on a subset, build the block table, append the remainder, then
+    * `buildBlocks` again — which must FOLD the delta in O(delta)
+    * (IndexCatalog.foldAppendDeltas swaps only the touched (bucket, rg)
+    * partitions) rather than rebuild from the full posting store — and
+    * serve WAND from the folded table. Oracle = full-corpus BM25 top-k,
+    * so a missed delta range, a double-folded posting, or a stale block
+    * breaks the hash.
+    */
+  private val appBlkCache = TrieMap.empty[String,
+    (InvertedIndex, org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long, Long)]
+  def documentsAppendedBlocks(spark: SparkSession, dir: String): (InvertedIndex, org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long, Long) =
+    appBlkCache.getOrElseUpdate(dir, {
+      val root = s"/tmp/graft_gate_ablk_${sanitize(dir)}"
+      wipe(spark, root)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.index.IndexCatalog.build(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", Seq("text"), root)
+      graft.index.IndexCatalog.buildBlocks(spark, root)
+      graft.index.IndexCatalog.addDocuments(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", root)
+      graft.index.IndexCatalog.buildBlocks(spark, root) // incremental fold
+      val idx = graft.index.IndexCatalog.read(spark, root)
+      val (blocks, bs, rpg) = graft.index.IndexCatalog.readBlocks(spark, root)
+      (idx, blocks, bs, rpg)
     })
 
   /** Streaming ingestion under the gate: a quarter of the corpus seeds the
@@ -141,8 +168,8 @@ object IndexCache {
     * block/WAND machinery under the external oracle.
     */
   private val persistBlockCache =
-    TrieMap.empty[String, (org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long)]
-  def blocksPersisted(spark: SparkSession, dir: String): (org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long) =
+    TrieMap.empty[String, (org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long, Long)]
+  def blocksPersisted(spark: SparkSession, dir: String): (org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long, Long) =
     persistBlockCache.getOrElseUpdate(dir, {
       documentsPersisted(spark, dir) // ensure the index exists first
       val root = s"/tmp/graft_gate_idx_${sanitize(dir)}"
@@ -494,12 +521,17 @@ object SparkEntry {
     // recomputes the expected metadata from the text (valid because the
     // corpus is pure ASCII, so UTF-8 byte k == character k's code point)
     // — a dims-parse bug on either side breaks the hash
+    // feature_src is part of the gated output (round-4 verdict #8): the
+    // even-length texts become real gray PNGs decoded by the native pixel
+    // path ("png-pixels"), the odd ones header-only JPEG stubs that fall
+    // back to the byte histogram ("bytes") — a silent regression of the
+    // pixel decoder to the fallback now breaks the hash
     "q21_multimodal" -> ((s, dir) =>
       Multimodal.decodeFeatures(
         Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text"),
         "doc_id", "media")
         .select(col("doc_id"), col("n_bytes"), col("format"), col("width"),
-          col("height"))
+          col("height"), col("feature_src"))
         .orderBy("doc_id")),
 
     // pipeline: LSH-restricted approximate cosine top-k. Oracle-checked:
@@ -635,9 +667,22 @@ object SparkEntry {
     // exhaustive oracle applies (pruning is lossless)
     "q37_wand_persisted" -> ((s, dir) => {
       val idx = IndexCache.documentsPersisted(s, dir)
-      val (blocks, bs) = IndexCache.blocksPersisted(s, dir)
+      val (blocks, bs, rpg) = IndexCache.blocksPersisted(s, dir)
       graft.query.BlockMaxTopK.query(idx, blocks, "spar merge", BM25(),
-        k = 200, blockSize = bs)
+        k = 200, blockSize = bs, rangesPerGroup = rpg)
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // the incremental block-maintenance lifecycle (build → buildBlocks →
+    // append → buildBlocks-as-O(delta)-fold → WAND): oracle = exhaustive
+    // BM25 over the FULL corpus with the q24-style tie-stable top-20 cut,
+    // so a missed delta range or double-folded posting breaks the hash
+    "q43_wand_append_fold" -> ((s, dir) => {
+      val (idx, blocks, bs, rpg) = IndexCache.documentsAppendedBlocks(s, dir)
+      graft.query.BlockMaxTopK.query(idx, blocks, "spar merge", BM25(),
+        k = 200, blockSize = bs, rangesPerGroup = rpg)
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id").asc)
         .limit(20)
@@ -666,9 +711,9 @@ object SparkEntry {
     // persisted WAND stack. Oracle = exhaustive BM25 over the filtered
     // corpus with the q24-style tie-stable top-20 cut.
     "q38_bm25_vacuum" -> ((s, dir) => {
-      val (idx, blocks, bs) = IndexCache.documentsVacuumed(s, dir)
+      val (idx, blocks, bs, rpg) = IndexCache.documentsVacuumed(s, dir)
       graft.query.BlockMaxTopK.query(idx, blocks, "spar table", BM25(),
-        k = 200, blockSize = bs)
+        k = 200, blockSize = bs, rangesPerGroup = rpg)
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id").asc)
         .limit(20)
@@ -804,6 +849,12 @@ object SparkEntry {
     // same oracle for the persisted-block variant (same query, same
     // lossless pruning — only the storage path differs)
     "q37_wand_persisted" -> bm25Sql(Seq("spar", "merge"), "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20"),
+
+    // incremental block fold must be invisible: the folded table serves
+    // the same full-corpus result as a from-scratch build (same query and
+    // cut as q24/q37 — only the maintenance path differs)
+    "q43_wand_append_fold" -> bm25Sql(Seq("spar", "merge"), "",
       finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20"),
 
     // persisted delete+vacuum+rebuilt-blocks lifecycle: the vacuumed index
@@ -1090,7 +1141,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(CASE WHEN format = 'png' THEN 68 + height * (width + 1) ELSE 35 END AS BIGINT) AS n_bytes,
-        |  format, width, height
+        |  format, width, height,
+        |  CASE WHEN format = 'png' THEN 'png-pixels' ELSE 'bytes' END AS feature_src
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q27_rollhash" ->

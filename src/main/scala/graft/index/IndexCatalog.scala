@@ -178,6 +178,46 @@ object IndexCatalog {
     read(spark, root)
   }
 
+  /** Append generations whose termdict/fieldstats live as DELTA tables
+    * (`termdict.d<g>`), unioned with the base by readers — the O(vocab)
+    * full-dictionary merge per append is replaced by an O(delta-vocab)
+    * write, with a rollup every `compactDeltasEvery` generations bounding
+    * the union width (see [[stageAppend]]).
+    */
+  private def deltaGens(m: Map[String, String]): Seq[String] =
+    m.getOrElse("append.deltas", "").split(",").filter(_.nonEmpty).toSeq
+
+  /** The live term dictionary: base generation unioned with any append
+    * deltas (df summed per term). With no deltas this is the plain base
+    * scan.
+    */
+  private def termdictDf(spark: SparkSession, root: String,
+      m: Map[String, String]): DataFrame = {
+    val base = spark.read.parquet(s"$root/${tableDir(m, "termdict")}")
+    val gs = deltaGens(m)
+    if (gs.isEmpty) base
+    else gs.map(g => spark.read.parquet(s"$root/termdict.d$g"))
+      .foldLeft(base)(_.unionByName(_))
+      .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
+  }
+
+  /** The live global field stats row: base generation plus append deltas
+    * (each delta is ONE row of (n, s0..)-sums over just its docs).
+    */
+  private def fieldstatsRow(spark: SparkSession, root: String,
+      m: Map[String, String], nf: Int): org.apache.spark.sql.Row = {
+    val base = spark.read.parquet(s"$root/${tableDir(m, "fieldstats")}")
+    val gs = deltaGens(m)
+    if (gs.isEmpty) base.head()
+    else {
+      val all = gs.map(g => spark.read.parquet(s"$root/fieldstats.d$g"))
+        .foldLeft(base)(_.unionByName(_))
+      val aggs = sum(col("n")).as("n") +:
+        (0 until nf).map(i => sum(col(s"s$i")).as(s"s$i"))
+      all.agg(aggs.head, aggs.tail: _*).head()
+    }
+  }
+
   /** Open a persisted index. The postings DataFrame keeps its `bucket`
     * column so the query path can prune partitions.
     */
@@ -190,68 +230,312 @@ object IndexCatalog {
     val tombstones =
       if (hasTombs) spark.read.parquet(s"$root/tombstones")
       else InvertedIndex.emptyTombstones(spark)
-    val statsRow = spark.read.parquet(s"$root/${tableDir(m, "fieldstats")}").head()
+    val statsRow = fieldstatsRow(spark, root, m, nf)
     val n = statsRow.getLong(0)
     val sums = (0 until nf).map(i => statsRow.getLong(i + 1)).toArray
     InvertedIndex(
       postings = spark.read.parquet(s"$root/postings"),
       docstats = spark.read.parquet(s"$root/docstats"),
-      termdict = spark.read.parquet(s"$root/${tableDir(m, "termdict")}"),
+      termdict = termdictDf(spark, root, m),
       tombstones = tombstones, numFields = nf, hasTombstones = hasTombs,
       statsHint = Some(FieldStats(n, sums, sums.map(_.toDouble / n.toDouble))))
   }
 
   /** Block-table format version; bumped when the [[PostingBlocks.Block]]
-    * schema changes (v2: per-field `min_fl` metadata for the tight BM25
-    * bound). Stale-format persisted blocks are rebuilt by [[buildBlocks]]
-    * and refused by [[readBlocks]].
+    * schema OR on-disk layout changes (v2: per-field `min_fl` metadata for
+    * the tight BM25 bound; v3: `(bucket, rg)` hive partitioning with
+    * `rg = block_id / rangesPerGroup` — the unit of INCREMENTAL block
+    * maintenance and of partition pruning for WAND probe/survivor decodes).
+    * Stale-format persisted blocks are rebuilt by [[buildBlocks]] and
+    * refused by [[readBlocks]].
     */
-  val BlockFormat = "2"
+  val BlockFormat = "3"
+
+  /** Doc-id ranges per block-table partition dir — the granularity of
+    * incremental rewrite: an append/vacuum re-encodes only the
+    * `(bucket, rg)` dirs its doc-id ranges touch and leaves every other
+    * block file byte-identical. Default 32 ranges × 4096-doc blocks =
+    * 128k docs per rg; at deployment scale tune blockSize × rangesPerGroup
+    * together so each (bucket, rg) parquet file lands near the 100-500 MB
+    * sweet spot.
+    */
+  val DefaultRangesPerGroup: Long = 32L
+
+  private def rgCol(blockId: org.apache.spark.sql.Column, rpg: Long) =
+    (blockId / lit(rpg)).cast("long").cast("int")
 
   /** Optional compressed-block stage (resumable like the rest): posting
     * blocks with block-max metadata for [[graft.query.BlockMaxTopK]],
-    * bucket-partitioned like the postings.
+    * partitioned by (term bucket, doc-id range group).
+    *
+    * Re-invoking after an [[addDocuments]] append folds the pending delta
+    * generations in INCREMENTALLY ([[foldAppendDeltas]]) — O(delta), not a
+    * rebuild from the full posting store. `blockSize`/`rangesPerGroup`
+    * apply to a FULL (re)build only; incremental folds always use the
+    * manifest's recorded config.
     */
   def buildBlocks(spark: SparkSession, root: String,
-      blockSize: Long = PostingBlocks.DefaultBlockSize): Unit = {
+      blockSize: Long = PostingBlocks.DefaultBlockSize,
+      rangesPerGroup: Long = DefaultRangesPerGroup): Unit = {
     var m = readManifest(spark, root)
     require(m.getOrElse("published", "") == "true", s"no published index at $root")
     if (m.contains("stage.blocks.rows")) {
-      if (m.getOrElse("config.blockFormat", "1") == BlockFormat) return
-      // stale on-disk format: drop and rebuild
+      if (m.getOrElse("config.blockFormat", "1") == BlockFormat) {
+        // current-format table: fold pending append deltas (O(delta)), or
+        // nothing to do
+        if (m.getOrElse("blocks.pending", "").nonEmpty || m.contains("blocks.swap"))
+          foldAppendDeltas(spark, root)
+        return
+      }
+      // stale on-disk format: drop and rebuild (with any fold leftovers)
       fs(spark, root).delete(new Path(s"$root/blocks"), true)
-      m = m - "stage.blocks.rows" - "stage.blocks.secs"
+      fs(spark, root).delete(new Path(s"$root/$BlockFoldTmp"), true)
+      m = m -- BlockStateKeys
       writeManifest(spark, root, m)
     }
     val nf = m("config.numFields").toInt
     val nb = m("config.nBuckets").toInt
-    m = stage(spark, root, "blocks", m, partitionBy = Seq("bucket")) {
+    m = stage(spark, root, "blocks", m, partitionBy = Seq("bucket", "rg")) {
       PostingBlocks.fromPostings(spark.read.parquet(s"$root/postings"), nf, blockSize)
         .toDF().withColumn("bucket", bucketOf(col("term"), nb))
+        .withColumn("rg", rgCol(col("block_id"), rangesPerGroup))
         .repartition(nb, col("bucket"))
         .sortWithinPartitions(col("term"), col("block_id"))
     }
-    writeManifest(spark, root, m + ("config.blockSize" -> blockSize.toString) +
-      ("config.blockFormat" -> BlockFormat))
+    writeManifest(spark, root, m - "blocks.pending" +
+      ("config.blockSize" -> blockSize.toString) +
+      ("config.blockFormat" -> BlockFormat) +
+      ("config.rangesPerGroup" -> rangesPerGroup.toString))
   }
 
-  def readBlocks(spark: SparkSession, root: String): (org.apache.spark.sql.Dataset[PostingBlocks.Block], Long) = {
+  /** Every manifest key describing block-table state (stripped whenever the
+    * dir is dropped, so a phantom stage can never wedge readers/rebuilds).
+    */
+  private val BlockStateKeys = Seq("stage.blocks.rows", "stage.blocks.secs",
+    "blocks.pending", "blocks.swap", "blocks.swap.rows", "blocks.swap.drop",
+    "config.blockFormat", "config.blockSize", "config.rangesPerGroup")
+
+  private val BlockFoldTmp = "_tmp_blocks_fold"
+
+  /** Delta posting files of the given append generations: publishAppend
+    * moves staged part-files in under `append_<g>_` names, so the fold can
+    * read EXACTLY the delta — an O(delta) listing + read, never a
+    * posting-store scan.
+    */
+  private def listAppendFiles(f: FileSystem, dir: String,
+      gens: Set[String]): Seq[String] = {
+    val prefixes = gens.map(g => s"append_${g}_")
+    val out = Seq.newBuilder[String]
+    val d = new Path(dir)
+    if (f.exists(d)) f.listStatus(d).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("bucket="))
+        f.listStatus(st.getPath).foreach { fl =>
+          val n = fl.getPath.getName
+          if (fl.isFile && prefixes.exists(n.startsWith)) out += fl.getPath.toString
+        }
+    }
+    out.result()
+  }
+
+  /** Move every `bucket=X/rg=Y` dir under `tmp` into `live`, replacing the
+    * existing dir. Idempotent: a partition already swapped is gone from
+    * tmp; a crash between delete and rename leaves the tmp copy, which the
+    * resume moves.
+    */
+  private def swapBlockPartitions(f: FileSystem, tmp: String, live: String): Unit = {
+    val tp = new Path(tmp)
+    if (!f.exists(tp)) return
+    f.listStatus(tp).foreach { b =>
+      if (b.isDirectory && b.getPath.getName.startsWith("bucket="))
+        f.listStatus(b.getPath).foreach { r =>
+          if (r.isDirectory && r.getPath.getName.startsWith("rg=")) {
+            val dstDir = new Path(s"$live/${b.getPath.getName}")
+            f.mkdirs(dstDir)
+            val dst = new Path(dstDir, r.getPath.getName)
+            f.delete(dst, true)
+            f.rename(r.getPath, dst)
+            ()
+          }
+        }
+    }
+  }
+
+  /** Incrementally fold pending append generations into the block table:
+    * decode ONLY the block rows of the (bucket, rg) partitions the delta
+    * postings touch, merge with the delta, re-encode, and swap exactly
+    * those partition dirs. Every untouched block file stays byte-identical
+    * (asserted by IncrementalBlockSpec). With fresh (monotone) appended
+    * doc-ids the touched set is the delta's own new rg dirs plus at most
+    * one boundary rg per bucket — O(delta), where the round-4 engine paid
+    * an O(corpus) re-encode from the full posting store per mutation.
+    *
+    * Crash protocol: rebuilt partitions are FULLY written under
+    * `_tmp_blocks_fold` before `blocks.swap` is committed; the swap
+    * (delete live dir, move tmp dir in, per partition) runs only with the
+    * marker set and resumes by moving whatever is left in tmp;
+    * `blocks.pending` is trimmed only in the final commit, so a crash at
+    * any point re-enters the right phase. Single-writer assumption as for
+    * all mutations (see [[addDocuments]]).
+    */
+  private def foldAppendDeltas(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val tmp = s"$root/$BlockFoldTmp"
+    var m = readManifest(spark, root)
+    while (m.contains("blocks.swap") ||
+        m.getOrElse("blocks.pending", "").nonEmpty) {
+      if (!m.contains("blocks.swap")) {
+        val gens = m("blocks.pending").split(",").filter(_.nonEmpty).toSeq
+        val nf = m("config.numFields").toInt
+        val nb = m("config.nBuckets").toInt
+        val bs = m("config.blockSize").toLong
+        val rpg = m("config.rangesPerGroup").toLong
+        val deltaFiles = listAppendFiles(f, s"$root/postings", gens.toSet)
+        if (deltaFiles.isEmpty) { // empty delta (e.g. all-empty docs)
+          writeManifest(spark, root, m - "blocks.pending"); return
+        }
+        // basePath keeps the hive `bucket` partition column on the
+        // explicit file list
+        val delta = spark.read.option("basePath", s"$root/postings")
+          .parquet(deltaFiles: _*)
+          .withColumn("block_id", (col("doc_id") / lit(bs)).cast("long"))
+          .withColumn("rg", rgCol(col("block_id"), rpg))
+        val pairs = delta.select(col("bucket"), col("rg")).distinct()
+          .collect().map(r => (r.getInt(0), r.getInt(1)))
+        val bks = pairs.map(_._1).distinct.toSeq
+        val rgs = pairs.map(_._2).distinct.toSeq
+        val pairKeys = pairs.map { case (b, r) => s"$b:$r" }.toSeq
+        // bucket/rg IN (…) partition-prunes the scan; the exact pair
+        // filter keeps cartesian-extra partitions out of the rewrite
+        val old = spark.read.parquet(s"$root/blocks")
+          .filter(col("bucket").isin(bks: _*) && col("rg").isin(rgs: _*) &&
+            concat_ws(":", col("bucket"), col("rg")).isin(pairKeys: _*))
+          .cache()
+        val oldCnt = old.count()
+        val merged = PostingBlocks.toPostings(old, nf, bs)
+          .unionByName(delta.select("term", "doc_id", "tf", "fl", "occ"))
+          // defense-in-depth idempotency: a doc's postings are written by
+          // exactly one generation, so any old∩delta overlap is row-equal
+          .dropDuplicates("term", "doc_id")
+        val fresh = PostingBlocks.fromPostings(merged, nf, bs)
+          .toDF().withColumn("bucket", bucketOf(col("term"), nb))
+          .withColumn("rg", rgCol(col("block_id"), rpg))
+          .repartition(col("bucket"), col("rg"))
+          .sortWithinPartitions(col("term"), col("block_id"))
+        f.delete(new Path(tmp), true)
+        val obs = org.apache.spark.sql.Observation()
+        fresh.observe(obs, count(lit(1)).as("rows"))
+          .write.partitionBy("bucket", "rg").parquet(tmp)
+        val newCnt = obs.get("rows").asInstanceOf[Long]
+        old.unpersist()
+        val total = m("stage.blocks.rows").toLong - oldCnt + newCnt
+        m = readManifest(spark, root) +
+          ("blocks.swap" -> gens.mkString(",")) +
+          ("blocks.swap.rows" -> total.toString)
+        writeManifest(spark, root, m)
+      }
+      // swap phase + final commit: trim exactly the folded generations
+      // (another append may have queued more while a crashed swap waited)
+      swapBlockPartitions(f, tmp, s"$root/blocks")
+      m = readManifest(spark, root)
+      val folded = m("blocks.swap").split(",").toSet
+      val remaining = m.getOrElse("blocks.pending", "").split(",")
+        .filter(g => g.nonEmpty && !folded.contains(g))
+      val base = m - "blocks.swap" - "blocks.swap.rows" +
+        ("stage.blocks.rows" ->
+          m.getOrElse("blocks.swap.rows", m("stage.blocks.rows")))
+      writeManifest(spark, root,
+        if (remaining.isEmpty) base - "blocks.pending"
+        else base + ("blocks.pending" -> remaining.mkString(",")))
+      f.delete(new Path(tmp), true)
+      m = readManifest(spark, root)
+    }
+  }
+
+  def readBlocks(spark: SparkSession, root: String): (org.apache.spark.sql.Dataset[PostingBlocks.Block], Long, Long) = {
     import spark.implicits._
     val m = readManifest(spark, root)
-    // the stage key is cleared by vacuum/append when blocks go stale; a
-    // dir without the key must not be served
+    // the stage key is cleared whenever the dir is dropped; a dir without
+    // the key must not be served
     require(m.contains("stage.blocks.rows"),
       s"no current block stage at $root — run buildBlocks after build/vacuum/append")
     require(m.getOrElse("config.blockFormat", "1") == BlockFormat,
       s"block table at $root has format ${m.getOrElse("config.blockFormat", "1")}, " +
         s"engine expects $BlockFormat — re-run buildBlocks")
+    // appended generations not yet folded in (or a mid-swap fold) mean the
+    // table is missing live postings — refuse rather than serve partial
+    // results; buildBlocks folds them in O(delta)
+    require(m.getOrElse("blocks.pending", "").isEmpty && !m.contains("blocks.swap"),
+      s"block table at $root has unfolded append deltas " +
+        s"(${m.getOrElse("blocks.pending", "swap in progress")}) — re-run buildBlocks")
     val bs = m.getOrElse("config.blockSize", PostingBlocks.DefaultBlockSize.toString).toLong
-    // KEEP the bucket partition column (the Block encoder tolerates the
-    // extra field): BlockMaxTopK adds a `bucket IN (…)` predicate for the
-    // expanded terms, so the metadata/probe/decode scans touch only the
-    // query's bucket partitions — without it every WAND query reads every
-    // bucket dir of the block store
-    (spark.read.parquet(s"$root/blocks").as[PostingBlocks.Block], bs)
+    val rpg = m.getOrElse("config.rangesPerGroup", DefaultRangesPerGroup.toString).toLong
+    // KEEP the bucket/rg partition columns (the Block encoder tolerates
+    // extra fields): BlockMaxTopK prunes the metadata scan to the expanded
+    // terms' buckets and the probe/survivor decodes to their rg dirs —
+    // without them every WAND query reads the whole block store
+    (spark.read.parquet(s"$root/blocks").as[PostingBlocks.Block], bs, rpg)
+  }
+
+  /** Incrementally compact the block table for a vacuum: re-encode only
+    * the (bucket, rg) partitions containing tombstoned doc-ids — decode,
+    * anti-join the tombstone set, re-encode, swap those dirs; every other
+    * block file is untouched. Runs BEFORE the vacuum's final commit
+    * (tombstones still on disk) and is idempotent under crash-resume:
+    * re-decoding an already-compacted partition and anti-joining the same
+    * tombstones is a fixpoint.
+    */
+  private def compactBlocks(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val tmp = s"$root/$BlockFoldTmp"
+    var m = readManifest(spark, root)
+    if (!f.exists(new Path(s"$root/tombstones")) && !m.contains("blocks.swap"))
+      return
+    if (!m.contains("blocks.swap")) {
+      val nf = m("config.numFields").toInt
+      val nb = m("config.nBuckets").toInt
+      val bs = m("config.blockSize").toLong
+      val rpg = m("config.rangesPerGroup").toLong
+      val tombs = spark.read.parquet(s"$root/tombstones").select(col("doc_id"))
+      val rgs = tombs.select(rgCol((col("doc_id") / lit(bs)).cast("long"), rpg)
+        .as("rg")).distinct().collect().map(_.getInt(0)).toSeq
+      if (rgs.isEmpty) return
+      val old = spark.read.parquet(s"$root/blocks")
+        .filter(col("rg").isin(rgs: _*)).cache()
+      val oldPairs = old.select(col("bucket"), col("rg")).distinct().collect()
+        .map(r => s"bucket=${r.getInt(0)}/rg=${r.getInt(1)}")
+      if (oldPairs.isEmpty) { old.unpersist(); return }
+      val oldCnt = old.count()
+      val live = PostingBlocks.toPostings(old, nf, bs)
+        .join(tombs, Seq("doc_id"), "left_anti")
+      val fresh = PostingBlocks.fromPostings(live, nf, bs)
+        .toDF().withColumn("bucket", bucketOf(col("term"), nb))
+        .withColumn("rg", rgCol(col("block_id"), rpg))
+        .repartition(col("bucket"), col("rg"))
+        .sortWithinPartitions(col("term"), col("block_id"))
+      f.delete(new Path(tmp), true)
+      val obs = org.apache.spark.sql.Observation()
+      fresh.observe(obs, count(lit(1)).as("rows"))
+        .write.partitionBy("bucket", "rg").parquet(tmp)
+      val newCnt = obs.get("rows").asInstanceOf[Long]
+      old.unpersist()
+      val total = m("stage.blocks.rows").toLong - oldCnt + newCnt
+      m = readManifest(spark, root) + ("blocks.swap" -> "vacuum") +
+        ("blocks.swap.rows" -> total.toString) +
+        // the explicit drop list covers partitions whose blocks all
+        // emptied (no tmp counterpart would exist to replace them)
+        ("blocks.swap.drop" -> oldPairs.mkString(";"))
+      writeManifest(spark, root, m)
+    }
+    m = readManifest(spark, root)
+    m.getOrElse("blocks.swap.drop", "").split(";").filter(_.nonEmpty)
+      .foreach(rel => f.delete(new Path(s"$root/blocks/$rel"), true))
+    swapBlockPartitions(f, tmp, s"$root/blocks")
+    writeManifest(spark, root,
+      readManifest(spark, root) - "blocks.swap" - "blocks.swap.drop" -
+        "blocks.swap.rows" +
+        ("stage.blocks.rows" -> m("blocks.swap.rows")))
+    f.delete(new Path(tmp), true)
+    ()
   }
 
   /** Incremental append — the reference's headline mutation
@@ -283,11 +567,21 @@ object IndexCatalog {
     * swap itself is a manifest REPOINT at an already-complete generation
     * dir: the live tables are never renamed away, so there is no window —
     * crash included — where a reader finds them missing.
+    *
+    * SINGLE WRITER: all mutations (`addDocuments` / `removeDocuments` /
+    * `vacuum`) assume one writer at a time per index root — the crash
+    * protocol makes any PREFIX of a mutation resumable, but two writers
+    * interleaving check-then-act guards (e.g. a remove landing between a
+    * running vacuum's stage rewrites and its commit) can lose the late
+    * tombstone. Readers are unrestricted. A deployment with concurrent
+    * writers must serialize them externally (the Iceberg-catalog binding
+    * this layout is shaped for does it with optimistic commit retries).
     */
-  def addDocuments(docs: DataFrame, docIdCol: String, root: String): InvertedIndex = {
+  def addDocuments(docs: DataFrame, docIdCol: String, root: String,
+      compactDeltasEvery: Int = 8): InvertedIndex = {
     val spark = docs.sparkSession
     resumeAppend(spark, root) // finish any interrupted predecessor first
-    val g = stageAppend(docs, docIdCol, root)
+    val g = stageAppend(docs, docIdCol, root, compactDeltasEvery)
     publishAppend(spark, root, g)
     read(spark, root)
   }
@@ -298,7 +592,7 @@ object IndexCatalog {
     * "crashes" here and recovers via [[resumeAppend]].
     */
   private[graft] def stageAppend(docs: DataFrame, docIdCol: String,
-      root: String): Int = {
+      root: String, compactDeltasEvery: Int = 8): Int = {
     val spark = docs.sparkSession
     var m = readManifest(spark, root)
     require(m.getOrElse("published", "") == "true", s"no published index at $root")
@@ -328,19 +622,37 @@ object IndexCatalog {
       .repartition(nb, col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.partitionBy("bucket").parquet(s"$stageDir/postings")
-    spark.read.parquet(s"$root/${tableDir(m, "termdict")}")
-      .select(col("term"), col("df"))
-      .union(spark.read.parquet(s"$stageDir/postings")
-        .groupBy(col("term")).agg(sum(col("occ")).as("df")))
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      .withColumn("bucket", bucketOf(col("term"), nb))
-      .write.parquet(s"$stageDir/termdict")
+    // dictionary/stats: a DELTA table covering only this generation's docs
+    // (O(delta-vocab) — a streaming micro-batch's stage cost no longer
+    // scales with the corpus vocabulary), rolled up into one merged base
+    // every `compactDeltasEvery` generations so the reader-side union stays
+    // bounded. The reader is [[termdictDf]]/[[fieldstatsRow]].
+    val kind = if (deltaGens(m).size + 1 >= compactDeltasEvery) "rollup" else "delta"
     val aggs = count(lit(1)).as("n") +:
       (0 until nf).map(i => coalesce(sum(element_at(col("fl"), i + 1)), lit(0L)).as(s"s$i"))
-    spark.read.parquet(s"$root/docstats")
-      .union(spark.read.parquet(s"$stageDir/docstats"))
-      .agg(aggs.head, aggs.tail: _*)
-      .write.parquet(s"$stageDir/fieldstats")
+    if (kind == "delta") {
+      spark.read.parquet(s"$stageDir/postings")
+        .groupBy(col("term")).agg(sum(col("occ")).as("df"))
+        .withColumn("bucket", bucketOf(col("term"), nb))
+        .write.parquet(s"$stageDir/termdict")
+      spark.read.parquet(s"$stageDir/docstats")
+        .agg(aggs.head, aggs.tail: _*)
+        .write.parquet(s"$stageDir/fieldstats")
+    } else {
+      termdictDf(spark, root, m)
+        .select(col("term"), col("df"))
+        .union(spark.read.parquet(s"$stageDir/postings")
+          .groupBy(col("term")).agg(sum(col("occ")).as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .withColumn("bucket", bucketOf(col("term"), nb))
+        .write.parquet(s"$stageDir/termdict")
+      // the live docstats dir already holds every prior generation's rows
+      // (publishAppend moves them in), so a full re-aggregate is exact
+      spark.read.parquet(s"$root/docstats")
+        .union(spark.read.parquet(s"$stageDir/docstats"))
+        .agg(aggs.head, aggs.tail: _*)
+        .write.parquet(s"$stageDir/fieldstats")
+    }
     // per-bucket lineage of the DELTA, recorded at stage time: appends must
     // not rescan the whole posting store per publish (at streaming-ingest
     // rates that is an O(corpus) metadata pass per micro-batch), so the
@@ -351,6 +663,7 @@ object IndexCatalog {
       .map(r => s"${r.getInt(0)}=${r.getLong(1)}").mkString(";")
     writeManifest(spark, root, readManifest(spark, root) +
       ("append.staged" -> g.toString) +
+      ("append.staged.kind" -> kind) +
       (s"lineage.append.$g" -> deltaPerBucket))
     g
   }
@@ -395,15 +708,22 @@ object IndexCatalog {
     moveFiles(s"$stageDir/postings", s"$root/postings")
     moveFiles(s"$stageDir/docstats", s"$root/docstats")
 
-    // promote the small merged tables into GENERATION-NAMED dirs; the live
-    // table is never renamed away — the single manifest write below
-    // repoints `table.<name>` and `append.gen` atomically, so a crash
-    // anywhere leaves the index readable (old manifest → old dir, still
-    // intact). Skip when the staged copy is gone AND the generation dir
-    // exists (already promoted by a previous attempt).
+    // promote the small staged tables into GENERATION-NAMED dirs — delta
+    // appends to `<table>.d<g>` (the base stays live; readers union it
+    // with the deltas), rollups to `<table>.g<g>` (the repoint below
+    // retires base + deltas). The live tables are never renamed away —
+    // the single manifest write repoints atomically, so a crash anywhere
+    // leaves the index readable (old manifest → old dirs, still intact).
+    // Skip when the staged copy is gone AND the generation dir exists
+    // (already promoted by a previous attempt).
+    var m = readManifest(spark, root)
+    // legacy default "rollup" keeps the pre-delta full-merge semantics for
+    // stages written by an older engine version
+    val kind = m.getOrElse("append.staged.kind", "rollup")
+    val gdir = if (kind == "delta") s"d$g" else s"g$g"
     def promote(table: String): Unit = {
       val staged = new Path(s"$stageDir/$table")
-      val dst = new Path(s"$root/$table.g$g")
+      val dst = new Path(s"$root/$table.$gdir")
       if (f.exists(staged)) {
         f.delete(dst, true) // partial promote from a crashed attempt
         f.rename(staged, dst)
@@ -414,32 +734,46 @@ object IndexCatalog {
     promote("termdict")
     promote("fieldstats")
 
-    // commit: ONE manifest write bumps the generation, repoints both small
-    // tables, clears the pending marker (the delta's per-bucket lineage was
-    // recorded at stage time — no O(corpus) rescan here), and drops any
-    // block stage (stale for the appended doc ranges)
-    var m = readManifest(spark, root)
-    val hadBlocks = m.contains("stage.blocks.rows")
-    if (hadBlocks) m = m - "stage.blocks.rows" - "stage.blocks.secs"
-    writeManifest(spark, root,
-      m - "append.staged" +
-        ("append.gen" -> g.toString) +
-        ("table.termdict" -> s"termdict.g$g") +
-        ("table.fieldstats" -> s"fieldstats.g$g"))
+    // commit: ONE manifest write bumps the generation, registers the delta
+    // (or repoints both small tables on a rollup), clears the pending
+    // marker (the delta's per-bucket lineage was recorded at stage time —
+    // no O(corpus) rescan here), and marks any block stage as PENDING this
+    // generation: the table stays live for readers of the pre-append
+    // manifest, and the next buildBlocks folds the delta in O(delta)
+    // (foldAppendDeltas) instead of rebuilding from the full posting store
+    m = readManifest(spark, root)
+    var commit = m - "append.staged" - "append.staged.kind" +
+      ("append.gen" -> g.toString)
+    commit =
+      if (kind == "delta")
+        commit + ("append.deltas" -> (deltaGens(m) :+ g.toString).mkString(","))
+      else
+        commit - "append.deltas" +
+          ("table.termdict" -> s"termdict.g$g") +
+          ("table.fieldstats" -> s"fieldstats.g$g")
+    if (m.contains("stage.blocks.rows")) {
+      val p = m.getOrElse("blocks.pending", "")
+      commit += ("blocks.pending" ->
+        (if (p.isEmpty) g.toString else s"$p,$g"))
+    }
+    writeManifest(spark, root, commit)
 
     // post-commit garbage collection (all idempotent; readers holding the
     // OLD manifest race this — the same already-published-read lag shape
-    // as the delta posting files above)
-    if (hadBlocks) f.delete(new Path(s"$root/blocks"), true)
-    def gcOldGens(table: String): Unit =
-      f.listStatus(new Path(root)).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory &&
-            (n == table || (n.startsWith(s"$table.g") && n != s"$table.g$g")))
-          f.delete(st.getPath, true)
-      }
-    gcOldGens("termdict")
-    gcOldGens("fieldstats")
+    // as the delta posting files above). A delta append retires nothing;
+    // a rollup retires the old base and every folded delta dir.
+    if (kind != "delta") {
+      def gcOldGens(table: String): Unit =
+        f.listStatus(new Path(root)).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory &&
+              (n == table || n.startsWith(s"$table.d") ||
+                (n.startsWith(s"$table.g") && n != s"$table.g$g")))
+            f.delete(st.getPath, true)
+        }
+      gcOldGens("termdict")
+      gcOldGens("fieldstats")
+    }
     f.delete(new Path(stageDir), true)
     ()
   }
@@ -503,19 +837,37 @@ object IndexCatalog {
     if (!f.exists(new Path(s"$root/tombstones")) && !pending) return
     val idx = read(spark, root)
     var m = mPre
+    // Block-table strategy: a CURRENT-format table with no unfolded append
+    // deltas is compacted INCREMENTALLY after the stage rewrites — only
+    // the rg partitions containing tombstoned ids are re-encoded
+    // (compactBlocks) and its stage keys survive the vacuum. Anything else
+    // (no blocks, stale format, unfolded deltas, crashed append-fold) is
+    // dropped here WITH all its state keys stripped in the SAME manifest
+    // write — deleting the dir while leaving the keys would wedge
+    // readBlocks/buildBlocks on a phantom stage.
+    val blocksIncremental = m.contains("stage.blocks.rows") &&
+      m.getOrElse("config.blockFormat", "1") == BlockFormat &&
+      m.getOrElse("blocks.pending", "").isEmpty &&
+      (!m.contains("blocks.swap") || m("blocks.swap") == "vacuum")
     // clear stage/lineage keys so the rewrites run (on RESUME keep them —
     // completed stages skip), but KEEP the table.* generation pointers:
     // readers stay on the pre-vacuum termdict/fieldstats (with live
     // tombstone recount, still correct) until the final commit below
     // atomically repoints them at the rewritten tables
     if (!pending)
-      m = m -- m.keys.filter(k => k.startsWith("stage.") || k.startsWith("lineage."))
+      m = m -- m.keys.filter(k =>
+        (k.startsWith("stage.") && !(blocksIncremental && k.startsWith("stage.blocks"))) ||
+          k.startsWith("lineage."))
+    if (!blocksIncremental) m = m -- BlockStateKeys
     m = m + ("vacuum.pending" -> "true")
     writeManifest(spark, root, m)
-    // the block table (if built) still holds purged postings: drop it NOW —
-    // its manifest stage key was just cleared, and leaving the dir behind
-    // would let readBlocks serve stale data until the next buildBlocks
-    f.delete(new Path(s"$root/blocks"), true)
+    if (!blocksIncremental) {
+      // the block table (if built) still holds purged postings and cannot
+      // be incrementally maintained from this state: drop it (its state
+      // keys were stripped in the commit above)
+      f.delete(new Path(s"$root/blocks"), true)
+      f.delete(new Path(s"$root/$BlockFoldTmp"), true)
+    }
     m = stage(spark, root, "docstats", m)(idx.liveDocstats)
     m = stage(spark, root, "postings", m, partitionBy = Seq("bucket")) {
       val nb = m("config.nBuckets").toInt
@@ -533,30 +885,39 @@ object IndexCatalog {
       spark.read.parquet(s"$root/docstats").agg(aggs.head, aggs.tail: _*)
     }
     if (crashBeforeCommit) return // fault injection: die before the commit
+    // incremental block compaction (decided above): re-encode only the rg
+    // partitions with tombstoned ids, BEFORE the commit deletes the
+    // tombstone set it anti-joins. Idempotent under crash-resume.
+    if (blocksIncremental) {
+      compactBlocks(spark, root)
+      m = readManifest(spark, root) // picks up the updated stage.blocks.rows
+    }
     // vacuum rewrote the whole posting store: refresh the global lineage
     // (append deltas were folded in by the rewrite, so their lines go)
     val perBucket = spark.read.parquet(s"$root/postings")
       .groupBy("bucket").count().orderBy("bucket").collect()
       .map(r => s"${r.getInt(0)}=${r.getLong(1)}").mkString(";")
     // FINAL COMMIT (one manifest write): repoint the small tables at the
-    // rewritten plain dirs (drop the table.* generation keys), clear the
-    // pending marker, publish. Tombstones are deleted only AFTER the
-    // commit: against the compacted postings the anti-join and live-df
+    // rewritten plain dirs (drop the table.* generation keys and the
+    // append-delta registry — the rewritten dictionary subsumes them),
+    // clear the pending marker, publish. Tombstones are deleted only AFTER
+    // the commit: against the compacted postings the anti-join and live-df
     // recount are no-ops, so queries are correct in both orders, while
     // deleting first would leave a crash window with stale gen-dir df and
     // no tombstones
     writeManifest(spark, root,
       (m -- m.keys.filter(k =>
         k.startsWith("lineage.append.") || k.startsWith("table."))) -
-        "vacuum.pending" +
+        "vacuum.pending" - "append.deltas" +
         ("published" -> "true") + ("lineage.postings" -> perBucket))
     f.delete(new Path(s"$root/tombstones"), true)
-    // GC the superseded generation dirs (post-commit; also re-swept by the
-    // next append's publish if this crashes)
+    // GC the superseded generation/delta dirs (post-commit; also re-swept
+    // by the next append's publish if this crashes)
     f.listStatus(new Path(root)).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory &&
-          (n.startsWith("termdict.g") || n.startsWith("fieldstats.g")))
+          (n.startsWith("termdict.g") || n.startsWith("fieldstats.g") ||
+            n.startsWith("termdict.d") || n.startsWith("fieldstats.d")))
         f.delete(st.getPath, true)
     }
     ()

@@ -246,6 +246,15 @@ object Dedup {
       // one pass over the edge list, which the loop's first join pays
       // anyway)
     }
+    componentsDistributed(e0, maxIter, scope)._1
+  }
+
+  /** The distributed propagation loop behind [[components]], exposed with
+    * its iteration count for scale evidence (ComponentsScaleProbe): input
+    * must already be (src, dst) long columns.
+    */
+  private[graft] def componentsDistributed(e0: DataFrame, maxIter: Int = 20,
+      scope: CacheScope = CacheScope.global): (DataFrame, Int) = {
     // symmetrize once; feeds every iteration's join
     val edges = scope.cut(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
@@ -277,7 +286,7 @@ object Dedup {
       labels = next
       it += 1
     }
-    labels
+    (labels, it)
   }
 
   /** Near-dup dedup as a transform: drop every doc that is a NON-canonical

@@ -7,12 +7,18 @@ import graft.index.VectorIndex
 import graft.pipeline.Similarity
 
 /** Recall curve of the persisted ANN index's multiprobe search vs exact
-  * brute-force cosine top-k (the q15 oracle), over the driver embeddings:
-  * recall@k at Hamming radius 0 / 1 / 2, with the buckets-probed and
-  * candidates-scored cost of each — the table a user tuning
-  * (nBits, maxHamming) reads (BENCH.md).
+  * brute-force cosine top-k (the q15 oracle): recall@k at Hamming radius
+  * 0 / 1 / 2, with the buckets-probed and candidates-scored cost of each —
+  * the table a user tuning (nBits, maxHamming) reads (BENCH.md).
+  *
+  * Source selector (first arg): a testdata dir (driver embeddings,
+  * uniform-random — the worst case), or `clustered:<n>` / `uniform:<n>`
+  * for the deterministic [[VectorFixtures]] Gaussian-mixture fixture and
+  * its structureless control — the clustered number is what a real
+  * embedding-space user would see.
   *
   *   sbt "runMain graft.tools.AnnRecall /root/testdata/sf0.1 20 40"
+  *   sbt "runMain graft.tools.AnnRecall clustered:20000 20 40"
   */
 object AnnRecall {
   def main(args: Array[String]): Unit = {
@@ -28,7 +34,16 @@ object AnnRecall {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+    val emb = (dir.split(":", 2) match {
+      case Array("clustered", nv) =>
+        // 40 vectors per cluster, noise 0.25 vs unit-Gaussian centers: a
+        // tight-but-not-degenerate mixture (σ_cluster/σ_center = 0.25)
+        VectorFixtures.clustered(spark, nv.toInt, 64,
+          centers = math.max(1, nv.toInt / 40), noise = 0.25, seed = 7L)
+      case Array("uniform", nv) =>
+        VectorFixtures.uniform(spark, nv.toInt, 64, seed = 7L)
+      case _ => spark.read.parquet(s"$dir/embeddings.parquet")
+    }).cache()
     val n = emb.count()
     val root = s"/tmp/graft_annrecall_${math.abs(dir.hashCode)}_$nBits"
     val p = new org.apache.hadoop.fs.Path(root)

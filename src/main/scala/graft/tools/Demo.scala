@@ -54,8 +54,9 @@ object Demo {
     graft.index.IndexCatalog.build(docs, "doc_id", Seq("text"), root, nBuckets = 16)
     graft.index.IndexCatalog.buildBlocks(spark, root, blockSize = 512)
     val pidx = graft.index.IndexCatalog.read(spark, root)
-    val (blocks, bs) = graft.index.IndexCatalog.readBlocks(spark, root)
-    graft.query.BlockMaxTopK.query(pidx, blocks, q, BM25(), k = 5, blockSize = bs).show(false)
+    val (blocks, bs, rpg) = graft.index.IndexCatalog.readBlocks(spark, root)
+    graft.query.BlockMaxTopK.query(pidx, blocks, q, BM25(), k = 5,
+      blockSize = bs, rangesPerGroup = rpg).show(false)
 
     println("== streaming windowed aggregation over events (AvailableNow):")
     graft.streaming.EventWindows.runAvailableNow(spark, s"$dir/events.parquet")

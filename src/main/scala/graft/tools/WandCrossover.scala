@@ -69,7 +69,7 @@ object WandCrossover {
         IndexCatalog.read(spark, root)
     }
     IndexCatalog.buildBlocks(spark, root)
-    val (blocksRaw, bs) = IndexCatalog.readBlocks(spark, root)
+    val (blocksRaw, bs, rpg) = IndexCatalog.readBlocks(spark, root)
     val blocks = blocksRaw.cache(); blocks.count()
     idx.termdict.cache().count()
 
@@ -102,7 +102,7 @@ object WandCrossover {
     val rows = queries.map { q =>
       // warm both plans (codegen compile is a one-time cost)
       QueryEngine.query(idx, q, BM25(), limit = 10).collect()
-      BlockMaxTopK.query(idx, blocks, q, BM25(), k = 10, blockSize = bs).collect()
+      BlockMaxTopK.query(idx, blocks, q, BM25(), k = 10, blockSize = bs, rangesPerGroup = rpg).collect()
       val ex = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         QueryEngine.query(idx, q, BM25(), limit = 10).collect()
@@ -110,7 +110,7 @@ object WandCrossover {
       }
       val wd = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        BlockMaxTopK.query(idx, blocks, q, BM25(), k = 10, blockSize = bs).collect()
+        BlockMaxTopK.query(idx, blocks, q, BM25(), k = 10, blockSize = bs, rangesPerGroup = rpg).collect()
         (System.nanoTime() - t0) / 1e9
       }
       val (em, wm) = (median(ex), median(wd))

@@ -125,22 +125,27 @@ class BlockMaxSpec extends TestBase {
     idx.unpersist(); blocks.unpersist()
   }
 
-  test("vacuum invalidates the block stage; rebuild serves fresh blocks") {
+  test("vacuum compacts the block table in place (incremental, no rebuild)") {
     val root = java.nio.file.Files.createTempDirectory("graft_blocks_vac_").toString
     val src = SourceCodeGen.generate(spark, 200)
     IndexCatalog.build(src, "doc_id", Seq("content", "path"), root, nBuckets = 4)
     IndexCatalog.buildBlocks(spark, root, blockSize = 64)
     IndexCatalog.removeDocuments(spark, root, Seq(0L, 1L, 2L))
     IndexCatalog.vacuum(spark, root)
-    // stale blocks must not be readable after vacuum…
-    intercept[IllegalArgumentException] { IndexCatalog.readBlocks(spark, root) }
-    // …and a rebuild serves blocks consistent with the vacuumed postings
-    IndexCatalog.buildBlocks(spark, root, blockSize = 64)
+    // the block table SURVIVES the vacuum (round-4 engine dropped it and
+    // re-encoded from the full posting store): compactBlocks re-encoded
+    // only the rg partitions holding tombstoned ids, and readBlocks serves
+    // data consistent with the compacted postings with no rebuild step
     val idx = IndexCatalog.read(spark, root)
-    val (blocks, bs) = IndexCatalog.readBlocks(spark, root)
+    val (blocks, bs, _) = IndexCatalog.readBlocks(spark, root)
     val back = PostingBlocks.toPostings(blocks.toDF(), 2, bs)
     assert(back.filter(col("doc_id").isin(0L, 1L, 2L)).count() == 0)
     assert(back.count() == idx.postings.count())
+    // a follow-up buildBlocks is a no-op (stage current, nothing pending)
+    IndexCatalog.buildBlocks(spark, root, blockSize = 64)
+    assert(PostingBlocks.toPostings(
+      IndexCatalog.readBlocks(spark, root)._1.toDF(), 2, bs).count() ==
+      idx.postings.count())
   }
 
   test("blocks round-trip through the persisted catalog") {
@@ -148,7 +153,7 @@ class BlockMaxSpec extends TestBase {
     val src = SourceCodeGen.generate(spark, 300)
     val idx = IndexCatalog.build(src, "doc_id", Seq("content", "path"), root, nBuckets = 8)
     IndexCatalog.buildBlocks(spark, root, blockSize = 64)
-    val (blocks, bs) = IndexCatalog.readBlocks(spark, root)
+    val (blocks, bs, _) = IndexCatalog.readBlocks(spark, root)
     assert(bs == 64)
     val exact = QueryEngine.query(idx, "import ident3", BM25(), limit = 5).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq

@@ -107,15 +107,15 @@ class IncrementalSpec extends TestBase {
     val root = Files.createTempDirectory("graft_incr5_").toString
     IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 8)
     IndexCatalog.stageAppend(batch(batchB), "id", root)
-    // simulate dying INSIDE publishAppend, after the generation-dir
-    // promotes but before the manifest commit: the staged small tables sit
-    // in termdict.g1/fieldstats.g1, the manifest still points at the plain
-    // dirs — readers must get the intact PRE-append index
+    // simulate dying INSIDE publishAppend, after the delta-dir promotes
+    // but before the manifest commit: the staged small DELTA tables sit in
+    // termdict.d1/fieldstats.d1, the manifest has no append.deltas entry
+    // for them — readers must get the intact PRE-append index
     val g = 1
     for (t <- Seq("termdict", "fieldstats")) {
       java.nio.file.Files.move(
         java.nio.file.Paths.get(s"$root/_append_stage_$g/$t"),
-        java.nio.file.Paths.get(s"$root/$t.g$g"))
+        java.nio.file.Paths.get(s"$root/$t.d$g"))
     }
     val before = IndexCatalog.read(spark, root)
     assert(before.docstats.count() == 2,
@@ -129,11 +129,43 @@ class IncrementalSpec extends TestBase {
     val full = IndexBuilder.build(batch(batchA ++ batchB), "id",
       Seq("title", "description"))
     assert(idx.termdict.select("term", "df").exceptAll(full.termdict).count() == 0)
-    // the plain (stale) dirs are GC'd post-commit; the manifest points at g1
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/termdict")))
+    // delta append: the base dict STAYS live (readers union it with the
+    // registered delta), and the commit registers generation 1
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/termdict")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/termdict.d1")))
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root/manifest.json"))
-      .contains("\"table.termdict\": \"termdict.g1\""))
+      .contains("\"append.deltas\": \"1\""))
+  }
+
+  test("delta dictionaries roll up every compactDeltasEvery generations") {
+    val root = Files.createTempDirectory("graft_incr8_").toString
+    IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 8)
+    // gen 1 = delta, gen 2 = rollup (compactDeltasEvery = 2)
+    IndexCatalog.addDocuments(batch(Seq(batchB.head)), "id", root, compactDeltasEvery = 2)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/termdict.d1")))
+    IndexCatalog.addDocuments(batch(Seq(batchB(1))), "id", root, compactDeltasEvery = 2)
+    val mf = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/manifest.json"))
+    assert(mf.contains("\"table.termdict\": \"termdict.g2\""))
+    assert(!mf.contains("append.deltas"))
+    // rollup GC'd the folded delta dirs and the old base
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/termdict.d1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/termdict")))
+    val idx = IndexCatalog.read(spark, root)
+    val full = IndexBuilder.build(batch(batchA ++ batchB), "id",
+      Seq("title", "description"))
+    assert(idx.termdict.select("term", "df").exceptAll(full.termdict).count() == 0 &&
+      full.termdict.exceptAll(idx.termdict.select("term", "df")).count() == 0)
+    val sa = idx.fieldStats(); val sb = full.fieldStats()
+    assert(sa.n == sb.n && sa.sums.toSeq == sb.sums.toSeq)
+    for (q <- Seq("abc", "ab", "dfg zzz")) {
+      val a = QueryEngine.query(idx, q, BM25()).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = QueryEngine.query(full, q, BM25()).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"query '$q': rolled-up=$a vs full=$b")
+    }
   }
 
   test("append after a crashed vacuum completes the vacuum first") {

@@ -145,6 +145,38 @@ class VectorIndexSpec extends TestBase {
     assert(r2 >= 0.5, s"H2 recall@$k too low: $r2")
   }
 
+  test("clustered vectors beat uniform vectors on recall at equal probes") {
+    // the round-4 recall curve used worst-case uniform vectors; a real
+    // embedding space is clustered, and the hyperplane hash must preserve
+    // that structure: at the SAME probe count (Hamming ≤ 1, 9 of 256
+    // buckets) the Gaussian-mixture fixture's recall@20 must beat the
+    // structureless control's. Deterministic (seeded fixture, fixed
+    // queries) — not a statistical test.
+    import graft.tools.VectorFixtures
+    val n = 2000; val d = 64; val bits = 8; val k = 20
+    def meanRecall(emb: org.apache.spark.sql.DataFrame, tag: String): Double = {
+      val root = Files.createTempDirectory(s"graft_vecfix_$tag").toString
+      VectorIndex.build(emb, "vec_id", "embedding", d, bits, root)
+      val qids = Seq(3L, 401L, 807L, 1203L, 1609L, 1999L)
+      val qs = emb.filter(col("vec_id").isin(qids: _*)).collect()
+        .map(_.getSeq[Float](1))
+      val recalls = qs.map { q =>
+        val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, k)
+          .collect().map(_.getLong(0)).toSet
+        val got = VectorIndex.annTopK(spark, root, q, k, maxHamming = 1)
+          .collect().map(_.getLong(0)).toSet
+        exact.intersect(got).size.toDouble / k
+      }
+      recalls.sum / recalls.length
+    }
+    val clustered = meanRecall(
+      VectorFixtures.clustered(spark, n, d, n / 40, 0.25, 7L).cache(), "c")
+    val uniform = meanRecall(VectorFixtures.uniform(spark, n, d, 7L).cache(), "u")
+    assert(clustered > uniform,
+      s"clustered recall $clustered not above uniform $uniform at equal probes")
+    assert(clustered >= 0.6, s"clustered recall@$k too low: $clustered")
+  }
+
   test("probeCandidates equals a brute-force filter of the same buckets") {
     val root = builtRoot()
     val q = vectors.filter(col("vec_id") === 42).head().getSeq[Float](1)
