@@ -315,6 +315,23 @@ object IndexCatalog {
     "blocks.pending", "blocks.swap", "blocks.swap.rows", "blocks.swap.drop",
     "config.blockFormat", "config.blockSize", "config.rangesPerGroup")
 
+  /** Drop the block table and all its manifest state. The next
+    * [[buildBlocks]] performs a FULL build with whatever
+    * blockSize/rangesPerGroup it is given — the sanctioned path for
+    * re-tuning the block layout (an incremental fold always keeps the
+    * recorded config, and buildBlocks on a current-format table ignores
+    * new layout params). Key-strip commits before the dir delete, so a
+    * crash between the two leaves an orphan dir that the next full build
+    * overwrites — never a phantom stage.
+    */
+  def dropBlocks(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    writeManifest(spark, root, readManifest(spark, root) -- BlockStateKeys)
+    f.delete(new Path(s"$root/blocks"), true)
+    f.delete(new Path(s"$root/$BlockFoldTmp"), true)
+    ()
+  }
+
   private val BlockFoldTmp = "_tmp_blocks_fold"
 
   /** Delta posting files of the given append generations: publishAppend
@@ -571,11 +588,15 @@ object IndexCatalog {
     * SINGLE WRITER: all mutations (`addDocuments` / `removeDocuments` /
     * `vacuum`) assume one writer at a time per index root — the crash
     * protocol makes any PREFIX of a mutation resumable, but two writers
-    * interleaving check-then-act guards (e.g. a remove landing between a
-    * running vacuum's stage rewrites and its commit) can lose the late
-    * tombstone. Readers are unrestricted. A deployment with concurrent
-    * writers must serialize them externally (the Iceberg-catalog binding
-    * this layout is shaped for does it with optimistic commit retries).
+    * interleaving check-then-act guards can interleave stage dirs and
+    * generation numbers. Readers are unrestricted. A deployment with
+    * concurrent writers must serialize them externally (the
+    * Iceberg-catalog binding this layout is shaped for does it with
+    * optimistic commit retries). The one cross-writer hazard with a safe
+    * in-engine answer — a remove landing between a running vacuum's stage
+    * rewrites and its commit — is closed structurally: vacuum retires only
+    * the tombstone FILES it snapshotted at stage time, so a late tombstone
+    * survives the commit as a correct mask (see [[vacuum]]).
     */
   def addDocuments(docs: DataFrame, docIdCol: String, root: String,
       compactDeltasEvery: Int = 8): InvertedIndex = {
@@ -834,7 +855,19 @@ object IndexCatalog {
     // after the stage rewrites would strand the `table.*` pointers on the
     // pre-vacuum generation dirs forever
     val pending = mPre.getOrElse("vacuum.pending", "") == "true"
-    if (!f.exists(new Path(s"$root/tombstones")) && !pending) return
+    val tombDir = new Path(s"$root/tombstones")
+    if (!f.exists(tombDir) && !pending) return
+    // SNAPSHOT the tombstone files this vacuum will retire (recorded in the
+    // manifest so a crash-resume retires the same set): the final commit
+    // deletes exactly these files, so a tombstone appended by another
+    // writer DURING the vacuum survives as a correct no-op-or-live mask
+    // instead of being silently dropped with its postings intact (the
+    // check-then-act race the API-level vacuum.pending guard cannot close
+    // for out-of-band writers)
+    val tombSnapshot =
+      if (!pending && f.exists(tombDir))
+        f.listStatus(tombDir).filter(_.isFile).map(_.getPath.getName).mkString(";")
+      else mPre.getOrElse("vacuum.tombfiles", "")
     val idx = read(spark, root)
     var m = mPre
     // Block-table strategy: a CURRENT-format table with no unfolded append
@@ -859,7 +892,7 @@ object IndexCatalog {
         (k.startsWith("stage.") && !(blocksIncremental && k.startsWith("stage.blocks"))) ||
           k.startsWith("lineage."))
     if (!blocksIncremental) m = m -- BlockStateKeys
-    m = m + ("vacuum.pending" -> "true")
+    m = m + ("vacuum.pending" -> "true") + ("vacuum.tombfiles" -> tombSnapshot)
     writeManifest(spark, root, m)
     if (!blocksIncremental) {
       // the block table (if built) still holds purged postings and cannot
@@ -908,9 +941,21 @@ object IndexCatalog {
     writeManifest(spark, root,
       (m -- m.keys.filter(k =>
         k.startsWith("lineage.append.") || k.startsWith("table."))) -
-        "vacuum.pending" - "append.deltas" +
+        "vacuum.pending" - "vacuum.tombfiles" - "append.deltas" +
         ("published" -> "true") + ("lineage.postings" -> perBucket))
-    f.delete(new Path(s"$root/tombstones"), true)
+    // retire EXACTLY the snapshot's tombstone files: ones appended during
+    // the vacuum stay live (their docs either got compacted away — the
+    // mask is then a no-op — or didn't, and the mask still hides them;
+    // correct either way). A legacy pending manifest without the snapshot
+    // key keeps the old whole-dir delete.
+    if (m.contains("vacuum.tombfiles")) {
+      m("vacuum.tombfiles").split(";").filter(_.nonEmpty)
+        .foreach(n => f.delete(new Path(s"$root/tombstones/$n"), false))
+      val dataLeft = f.exists(tombDir) && f.listStatus(tombDir)
+        .exists(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      if (!dataLeft) f.delete(tombDir, true)
+    } else f.delete(tombDir, true)
     // GC the superseded generation/delta dirs (post-commit; also re-swept
     // by the next append's publish if this crashes)
     f.listStatus(new Path(root)).foreach { st =>

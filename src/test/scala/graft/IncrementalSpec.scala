@@ -235,6 +235,44 @@ class IncrementalSpec extends TestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("out-of-band tombstone appended mid-vacuum survives the commit") {
+    // An EXTERNAL writer (bypassing the removeDocuments guard) appends a
+    // tombstone while a vacuum sits crashed between its stage rewrites and
+    // its final commit. The commit must retire only the tombstone files
+    // the vacuum snapshotted at stage time — deleting the whole dir (the
+    // old behavior) would drop the late tombstone while its postings,
+    // never part of the staged compaction, survive: a silently
+    // resurrected document.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_incr8_").toString
+    IndexCatalog.build(batch(batchA ++ batchB), "id",
+      Seq("title", "description"), root, nBuckets = 8)
+    IndexCatalog.removeDocuments(spark, root, Seq(0L))
+    IndexCatalog.vacuum(spark, root, crashBeforeCommit = true)
+    // out-of-band writer: raw parquet append, no API guard
+    Seq(2L).toDF("doc_id").write.mode("append").parquet(s"$root/tombstones")
+    IndexCatalog.vacuum(spark, root) // resume + commit
+    val idx = IndexCatalog.read(spark, root)
+    // doc 0 is compacted away; doc 2's late tombstone must still mask it
+    assert(idx.hasTombstones,
+      "late tombstone was dropped by the vacuum commit")
+    assert(idx.docstats.count() == 3) // compaction saw only doc 0
+    val full = IndexBuilder.build(
+      batch((batchA ++ batchB).filterNot(r => r._1 == 0L || r._1 == 2L)),
+      "id", Seq("title", "description"))
+    for (q <- Seq("abc", "dfg zzz")) {
+      val a = QueryEngine.query(idx, q, BM25()).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = QueryEngine.query(full, q, BM25()).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"query '$q': lifecycle=$a vs full=$b")
+    }
+    // a follow-up vacuum purges doc 2's postings and clears the mask
+    IndexCatalog.vacuum(spark, root)
+    val idx2 = IndexCatalog.read(spark, root)
+    assert(!idx2.hasTombstones && idx2.docstats.count() == 2)
+  }
+
   test("manifest delete-then-rename crash window is recoverable") {
     val root = Files.createTempDirectory("graft_mrec_").toString
     IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 4)

@@ -113,6 +113,35 @@ object WandParityProps extends Properties("WandParity") {
       wand == exact
     }
 
+  /** Adaptive θ probe (round-4 verdict #7): with probeBlocks=1 a static
+    * probe covers only one 8-doc range — for any k > 8 its θ would be -inf
+    * and NOTHING would prune (the old behavior). The probe must extend
+    * itself along the UB-ordered prefix until the block `cnt` metadata
+    * guarantees ≥ k candidate docs, seed a real θ, and still prune the
+    * cold ranges — while returning exactly the exhaustive top-k.
+    */
+  property("adaptive probe: k beyond the static probe coverage still prunes") =
+    forAll(Gen.choose(10, 24), Gen.choose(0, 8)) { (k, extraHot) =>
+      import spark.implicits._
+      val nHot = k + extraHot // enough identically-hot docs to fill top-k
+      val docs = (0L until 256L).map { i =>
+        val toks =
+          if (i < nHot) Seq.fill(10)("hot") ++ Seq.fill(2)("pad")
+          else "hot" +: Seq.fill(11)("pad") // fl constant across corpus
+        (i, toks.mkString(" "))
+      }
+      val idx = IndexBuilder.build(docs.toDF("id", "title"), "id", Seq("title"))
+      val blocks = PostingBlocks.fromPostings(idx.postings, 1, blockSize = 8)
+      val Some((total, survive, theta)) = BlockMaxTopK.pruningStats(
+        idx, blocks, "hot", BM25(), k = k, blockSize = 8, probeBlocks = 1)
+      val exact = QueryEngine.query(idx, "hot", BM25(), limit = k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val wand = BlockMaxTopK.query(idx, blocks, "hot", BM25(), k = k,
+        blockSize = 8, probeBlocks = 1).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      theta > 0 && survive < total && wand == exact && exact.size == k
+    }
+
   property("blockMax == exhaustive under tombstones, pruning live (BM25)") =
     forAll(corpusGen, queryGen, Gen.choose(1, 8), Gen.choose(2, 4)) {
       (docs, q, k, mod) => parityTombstoned(docs, q, k, mod, BM25())
