@@ -103,7 +103,14 @@ object BlockMaxTopK {
         */
       topRanges: Array[(Long, Double, Long)],
       complete: Boolean,
-      rangeUb: DataFrame)
+      rangeUb: DataFrame,
+      /** The resolved expansion terms and their dictionary buckets — kept
+        * so a cost-based bail can jump straight to the exhaustive scoring
+        * tail without re-resolving expansions (one dictionary job, plus
+        * the live-df recount job under tombstones, saved per bail).
+        */
+      eterms: Seq[String],
+      ebuckets: Seq[Int])
 
   /** Collect cap for the per-range UB table (24 bytes/row ⇒ ≤ 6 MiB of
     * driver heap). A hot term over 10^12 docs exceeds it (244M ranges);
@@ -181,7 +188,8 @@ object BlockMaxTopK {
       .limit(MaxCollectedRanges + 1).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
     Some(WandPrep(raw, expDf, blockPred, ubRows,
-      complete = ubRows.length <= MaxCollectedRanges, rangeUb))
+      complete = ubRows.length <= MaxCollectedRanges, rangeUb,
+      eterms, ebuckets))
   }
 
   /** The probe prefix: at least `probeBlocks` highest-UB ranges, extended
@@ -262,10 +270,14 @@ object BlockMaxTopK {
         // cost-based exit (see scaladoc phase 2): an unseedable θ prunes
         // nothing anywhere; a survivor set ≈ all ranges (checkable when
         // the UB table is driver-complete) prunes too little to repay the
-        // block path's decode overhead. Exhaustive computes the same
-        // scores (WandParityProps), from the posting store directly.
-        def exhaustive() = QueryEngine.query(idx, queryString, model, fb, k,
-          maxCollectedExpansions, tokenizer)
+        // block path's decode overhead. The bail reuses prepare's resolved
+        // expansions and jumps straight to the shared scoring tail — the
+        // SAME plan QueryEngine.query's collected path builds
+        // (WandParityProps), without re-resolving expansions.
+        def exhaustive() = QueryEngine.scoreCandidates(idx,
+          idx.livePostings.filter(
+            QueryEngine.candidatePredicate(idx, p.eterms, p.ebuckets)),
+          p.expDf, model, fb, p.raw.length, k)
         if (theta.isNegInfinity) exhaustive()
         else if (p.complete) {
           val surv = p.topRanges.collect { case (id, ub, _) if ub >= theta => id }.toSeq

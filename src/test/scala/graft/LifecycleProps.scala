@@ -113,4 +113,76 @@ object LifecycleProps extends Properties("Lifecycle") {
 
       queriesOk && dictOk && statsOk && res(gotV) == res(want)
     }
+
+  /** The same walk with the BLOCK TABLE live: a fold (`buildBlocks`) is
+    * interleaved at random points, so appends fold O(delta) onto prior
+    * folds, vacuums compact (or drop+strip) whatever fold state they find,
+    * and crashed vacuums leave pending state a later fold must not wedge
+    * on. The end state must satisfy: WAND over the folded block table ==
+    * exhaustive over a one-shot in-memory build of the net corpus — for
+    * every interleaving, under tombstones, at a block geometry small
+    * enough (blockSize 8 × rangesPerGroup 2) that folds really do split
+    * across rg partitions.
+    */
+  property("random walk with interleaved block folds: WAND == build(net corpus)") =
+    forAll(caseGen) { case (docs, ops) =>
+      import spark.implicits._
+      def df(r: Seq[(Long, String)]) = r.toDF("id", "title")
+      val rows = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lifeblk_").toString
+
+      val nAppends = math.max(1, ops.count(_.isInstanceOf[Append]))
+      val cut = math.max(1, rows.size / (nAppends + 1))
+      var pending = rows.drop(cut)
+      var live = rows.take(cut).toMap
+      var vacuumPending = false
+      IndexCatalog.build(df(rows.take(cut)), "id", Seq("title"), root, nBuckets = 4)
+      IndexCatalog.buildBlocks(spark, root, blockSize = 8, rangesPerGroup = 2)
+
+      ops.foreach {
+        case Append(crash) =>
+          val batch = pending.take(math.max(1, pending.size / 2))
+          pending = pending.drop(batch.size)
+          if (batch.nonEmpty) {
+            if (crash) {
+              IndexCatalog.resumeAppend(spark, root)
+              IndexCatalog.stageAppend(df(batch), "id", root)
+              ()
+            } else { IndexCatalog.addDocuments(df(batch), "id", root); vacuumPending = false }
+            live = live ++ batch
+          }
+        case Remove(pick) =>
+          if (live.nonEmpty) {
+            val ids = live.keys.toSeq.sorted
+            val id = ids(pick % ids.size)
+            IndexCatalog.removeDocuments(spark, root, Seq(id))
+            vacuumPending = false // remove completes a pending vacuum first
+            live = live - id
+          }
+        case Vacuum(crash) =>
+          IndexCatalog.vacuum(spark, root, crashBeforeCommit = crash)
+          vacuumPending = crash
+          // a single writer FOLDS here too — this is the append-then-WAND
+          // serving loop the incremental path exists for (the geometry
+          // params only apply if the vacuum dropped the table and this is
+          // a full rebuild; an incremental fold keeps the recorded config)
+          if (!crash) IndexCatalog.buildBlocks(spark, root, blockSize = 8, rangesPerGroup = 2)
+      }
+      // single-writer close-out: land trailing crash state, then fold
+      if (vacuumPending) IndexCatalog.vacuum(spark, root)
+      IndexCatalog.resumeAppend(spark, root)
+      IndexCatalog.buildBlocks(spark, root, blockSize = 8, rangesPerGroup = 2)
+
+      val got = IndexCatalog.read(spark, root)
+      val (blocks, bs, rpg) = IndexCatalog.readBlocks(spark, root)
+      val want = IndexBuilder.build(df(live.toSeq.sortBy(_._1)), "id", Seq("title"))
+      val q = "a b c"
+      val wand = graft.query.BlockMaxTopK.query(got, blocks, q, BM25(), k = 10,
+        blockSize = bs, rangesPerGroup = rpg)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exact = QueryEngine.query(want, q, BM25(), limit = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      wand == exact
+    }
 }
