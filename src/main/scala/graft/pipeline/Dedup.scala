@@ -258,8 +258,22 @@ object Dedup {
     // symmetrize once; feeds every iteration's join
     val edges = scope.cut(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    var labels = scope.cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")))
+    // LINEAGE TRUNCATION, not just caching: persist() short-circuits
+    // re-execution but keeps the full logical plan, so an iterative loop
+    // hands Catalyst a join tree one level deeper per iteration —
+    // analysis/optimization time grows super-linearly and at real edge
+    // counts (≥10M, ~13 iterations for a 4096-node chain) the DRIVER
+    // becomes the bottleneck while executors idle (measured: the 10M-edge
+    // ComponentsScaleProbe did not finish in 45 min on the persist-only
+    // loop; it runs in ~2 min with truncation — BENCH.md round 5).
+    // localCheckpoint (eager) materializes the iteration AND replaces its
+    // plan with the stored partitions, keeping per-iteration plan size
+    // constant. Deployment note: localCheckpoint ties the loop to
+    // executor lifetime — a cluster wanting executor-loss tolerance sets
+    // spark.checkpoint.dir and swaps in reliable checkpoint() every few
+    // iterations; the loop structure is unchanged.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
     var it = 0
     var changed = 1L
     while (changed > 0) {
@@ -268,25 +282,30 @@ object Dedup {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("component")).as("_nmin"))
       val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("_old"),
           least(col("component"), coalesce(col("_nmin"), col("component")))
             .as("component"))
       // pointer jumping: component ← component's own label (halves the
-      // remaining path length each iteration)
-      val next = scope.cut(propagated.as("x")
+      // remaining path length each iteration). The pre-iteration label
+      // rides along as `_old`, so convergence is a count over THIS
+      // result instead of a fourth join+shuffle against the old labels.
+      val step = propagated.as("x")
         .join(labels.select(col("id").as("_pid"), col("component").as("_pcomp")),
           col("x.component") === col("_pid"), "left")
-        .select(col("x.id").as("id"),
+        .select(col("x.id").as("id"), col("x._old").as("_old"),
           least(col("x.component"), coalesce(col("_pcomp"), col("x.component")))
-            .as("component")))
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("component").as("_old")), Seq("id"))
-        .filter(col("component") =!= col("_old")).count()
+            .as("component"))
+        .localCheckpoint()
+      changed = step.filter(col("component") =!= col("_old")).count()
       labels.unpersist(false)
-      labels = next
+      labels = step.select(col("id"), col("component"))
       it += 1
     }
-    (labels, it)
+    // hand the result to the caller's cache scope (persist is a cheap
+    // layer over the checkpoint blocks); the intermediate checkpoints
+    // are unpersisted above and the last one is released when the
+    // returned frame is
+    (scope.cut(labels), it)
   }
 
   /** Near-dup dedup as a transform: drop every doc that is a NON-canonical
