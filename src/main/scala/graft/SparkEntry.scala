@@ -340,6 +340,49 @@ object SparkEntry {
       |SELECT vec_id, CAST(round((dot / (sqrt(nd) * sqrt(nq))) * 1000000.0) AS BIGINT) AS cos_micro
       |FROM parts ORDER BY cos_micro DESC, vec_id ASC LIMIT 20""".stripMargin
 
+  /** Oracle for q44 (IVF ANN): the identical deterministic centroid sample
+    * (16 smallest md5("ivf:"||vec_id), dense cells in hash order), argmax-
+    * cosine assignment (tiebreak: lowest cell), the query's 4 nearest
+    * cells, exact cosine on the probe set, tie-stable micro-unit top-20.
+    */
+  private val AnnIvfTopKSql: String =
+    """WITH hk AS (SELECT vec_id, embedding,
+      |    CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+      |  FROM embeddings),
+      |cents AS (SELECT row_number() OVER (ORDER BY hk ASC, vec_id ASC) - 1 AS cell,
+      |    embedding AS cv
+      |  FROM hk ORDER BY hk ASC, vec_id ASC LIMIT 16),
+      |cc AS (SELECT e.vec_id, c.cell,
+      |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)) AS dot,
+      |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS ne,
+      |    sum(CAST(c.cv[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)) AS nc
+      |  FROM embeddings e, cents c, generate_series(1, 64) g(i)
+      |  GROUP BY e.vec_id, c.cell),
+      |asg AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY dot / (sqrt(ne) * sqrt(nc)) DESC, cell ASC) AS rn
+      |    FROM cc) WHERE rn = 1),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |qc AS (SELECT c.cell,
+      |    sum(CAST(c.cv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dot,
+      |    sum(CAST(c.cv[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)) AS nc,
+      |    sum(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS nq
+      |  FROM cents c, q, generate_series(1, 64) g(i) GROUP BY c.cell),
+      |probes AS (SELECT cell FROM (
+      |    SELECT cell, row_number() OVER (
+      |      ORDER BY dot / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) AS rn
+      |    FROM qc) WHERE rn <= 4),
+      |cand AS (SELECT a.vec_id FROM asg a JOIN probes p ON a.cell = p.cell),
+      |parts AS (SELECT e.vec_id,
+      |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dot,
+      |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS nd,
+      |    sum(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS nq
+      |  FROM embeddings e JOIN cand c2 ON e.vec_id = c2.vec_id, q, generate_series(1, 64) g(i)
+      |  GROUP BY e.vec_id)
+      |SELECT vec_id, CAST(round((dot / (sqrt(nd) * sqrt(nq))) * 1000000.0) AS BIGINT) AS cos_micro
+      |FROM parts ORDER BY cos_micro DESC, vec_id ASC LIMIT 20""".stripMargin
+
   // ---------- queries ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -688,6 +731,23 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // pipeline: IVF coarse-quantizer ANN — the data-adaptive alternative
+    // to q22's sign-LSH path. Deterministic hash-sampled centroids (16
+    // cells), codegen'd nearest-centroid assignment (one narrow corpus
+    // scan, no join/shuffle), probe the 4 cells nearest the query, exact
+    // cosine inside. Oracle recomputes the identical sample / argmax
+    // assignment / probe ranking in SQL; same tie-stable micro-unit
+    // top-20 cut as q22/q36.
+    "q44_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.ivfProbeCandidates(e, "vec_id", "embedding", 16, 4, q)
+        .select(col("vec_id"), micro(col("cos")).as("cos_micro"))
+        .orderBy(col("cos_micro").desc, col("vec_id").asc)
+        .limit(20)
+    }),
+
     // the PERSISTED ANN index: same hash family / multiprobe set / exact
     // cosine as q22, but served from the bucket-partitioned VectorIndex —
     // the probe scan reads only the ≤9 probe-bucket partitions (pruning
@@ -937,6 +997,7 @@ object SparkEntry {
     // 1-bit multiprobe set as Similarity.lshProbeCandidates, exact cosine
     // (same shape as q15), tie-stable micro-unit top-20
     "q22_ann_lsh" -> AnnLshTopKSql,
+    "q44_ann_ivf" -> AnnIvfTopKSql,
 
     "q10_exact_dup" ->
       """WITH aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),

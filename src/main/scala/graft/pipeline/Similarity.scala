@@ -112,6 +112,103 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
 
+  // ---------- IVF (inverted-file) coarse-quantizer ANN ----------
+
+  /** IVF centroids: the `nCells` corpus vectors with the smallest
+    * md5("ivf:" || vec_id) — a deterministic hash-ordered sample taken in
+    * ONE TakeOrderedAndProject pass (no global sort, no iterative
+    * training; Lloyd rounds would sharpen centroid QUALITY but change no
+    * plan shape downstream, so the sampled quantizer is the structural
+    * scale path). The collect is bounded by `nCells` — the same
+    * capped-driver-collect contract as the WAND UB table and the
+    * per-bucket lineage rows.
+    *
+    * Returns `(cell, centroidVector)` with dense cell ids in hash order.
+    */
+  def ivfCentroids(emb: DataFrame, id: String, vec: String,
+      nCells: Int): Array[(Int, Array[Float])] = {
+    require(nCells > 0 && nCells <= 65536,
+      "nCells bounds the centroid collect (64k cells ≈ 16 MB at dim 64)")
+    val hk = Portable.md5Long(
+      concat(lit("ivf:"), col(id).cast("long").cast("string")))
+    emb.select(col(id).cast("long").as("cvid"), col(vec).as("cvec"), hk.as("hk"))
+      .orderBy(col("hk").asc, col("cvid").asc).limit(nCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+  }
+
+  /** Nearest-centroid cell id as a pure codegen'd column: a LINEAR-size
+    * argmax over the centroid set — one `array_max` over
+    * `struct(cosine, -cell)` entries (struct ordering = highest cosine,
+    * then lowest cell), each centroid's cosine computed exactly once. No
+    * join, no shuffle: assignment is a map over the corpus, `nCells · dim`
+    * multiply-adds per vector.
+    */
+  def ivfCellCol(vec: Column, centroids: Array[(Int, Array[Float])]): Column = {
+    val entries = centroids.map { case (cid, cv) =>
+      struct(cosine(vec, array(cv.map(v => lit(v)): _*)).as("cc"),
+        lit(-cid).as("negc"))
+    }
+    (-array_max(array(entries.toSeq: _*)).getField("negc")).cast("int")
+  }
+
+  /** Driver-side cosine with the SAME index-order double accumulation as
+    * the codegen'd column path (probe-cell selection must rank centroids
+    * the way the distributed plan would).
+    */
+  private def cosineLocal(a: Array[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** IVF candidates: vectors whose nearest centroid is one of the query's
+    * `nProbe` highest-cosine cells, with exact cosine vs the query. The
+    * whole plan is one narrow corpus scan — assignment ([[ivfCellCol]]) and
+    * the `cell IN probes` filter are codegen'd projections, probe-cell
+    * selection is driver arithmetic over the nCells-capped centroid set.
+    *
+    * SCALE NOTE: like [[lshProbeCandidates]] this is the INDEX-FREE
+    * one-shot variant — fine for a single batch pass, a full corpus scan
+    * per query otherwise. Repeated queries should persist the assignment
+    * cell-partitioned (exactly the [[graft.index.VectorIndex]] pattern
+    * with `cell` as the hive partition column and the centroid table in
+    * the manifest): a query then reads only `nProbe` of `nCells`
+    * partitions. vs sign-LSH: the quantizer ADAPTS to the data's density
+    * (centroids are corpus samples, so dense regions get more cells),
+    * where the hyperplane family is data-oblivious.
+    */
+  def ivfProbeCandidates(emb: DataFrame, id: String, vec: String,
+      nCells: Int, nProbe: Int, query: Seq[Float]): DataFrame = {
+    require(nProbe > 0 && nProbe <= nCells, "0 < nProbe <= nCells")
+    val cents = ivfCentroids(emb, id, vec, nCells)
+    val probes = cents
+      .map { case (cid, cv) => (cid, cosineLocal(cv, query)) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nProbe).map(_._1).toSeq
+    val q = array(query.map(v => lit(v)): _*)
+    emb.select(col(id).cast("long").as("vec_id"), col(vec).as("v"),
+        ivfCellCol(col(vec), cents).as("cell"))
+      .filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), cosine(col("v"), q).as("cos"))
+  }
+
+  /** Approximate cosine top-k over the IVF probe set. `nProbe = nCells`
+    * degenerates to exact [[cosineTopK]] (parity-pinned by IvfSpec);
+    * smaller `nProbe` trades scanned fraction for recall, and the probe
+    * sets are NESTED in `nProbe` (same centroid ranking), so recall is
+    * monotone in the knob by construction.
+    */
+  def ivfCosineTopK(emb: DataFrame, id: String, vec: String, nCells: Int,
+      nProbe: Int, query: Seq[Float], k: Int): DataFrame =
+    ivfProbeCandidates(emb, id, vec, nCells, nProbe, query)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+
   /** Embedding-cosine near-duplicate pairs: candidates share an LSH bucket
     * (self-join on bucket, capped), exact cosine filter ≥ minCos. The
     * bucket-assignment persist is owned by `scope` (see [[CacheScope]]).
