@@ -191,6 +191,21 @@ object IndexCache {
       root
     })
 
+  /** Persisted IVF index over the embeddings (cell-partitioned
+    * nearest-centroid assignment, [[graft.index.IvfIndex]], 16 cells —
+    * q44's quantizer config so the q44 oracle transfers); returns its root.
+    */
+  private val ivfCache = TrieMap.empty[String, String]
+  def ivfPersisted(spark: SparkSession, dir: String): String =
+    ivfCache.getOrElseUpdate(dir, {
+      val root = s"/tmp/graft_gate_ivf_${sanitize(dir)}"
+      wipe(spark, root)
+      graft.index.IvfIndex.build(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", 64, 16, root)
+      root
+    })
+
   /** Compressed block table for the documents index, built ONCE per dir and
     * cached: BlockMaxTopK runs three actions over the block table (UB probe,
     * θ scoring, final scan) — without this the full postings→blocks shuffle
@@ -748,6 +763,23 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // the PERSISTED IVF index: same quantizer / probe ranking / exact
+    // cosine as q44, but served from the cell-partitioned IvfIndex — the
+    // probe scan reads only the 4 probe-cell partitions (pruning asserted
+    // by IvfIndexSpec) and the centroid table from the manifest dir,
+    // never recomputing the sample or assignment over the corpus. Same
+    // tie-stable micro-unit top-20 cut; oracle shared with q44 (identical
+    // by construction — parity is the point of the gate).
+    "q45_ann_ivf_persisted" -> ((s, dir) => {
+      val root = IndexCache.ivfPersisted(s, dir)
+      val q = emb(s, dir).filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      graft.index.IvfIndex.probeCandidates(s, root, q, nProbe = 4)
+        .select(col("vec_id"), micro(col("cos")).as("cos_micro"))
+        .orderBy(col("cos_micro").desc, col("vec_id").asc)
+        .limit(20)
+    }),
+
     // the PERSISTED ANN index: same hash family / multiprobe set / exact
     // cosine as q22, but served from the bucket-partitioned VectorIndex —
     // the probe scan reads only the ≤9 probe-bucket partitions (pruning
@@ -998,6 +1030,7 @@ object SparkEntry {
     // (same shape as q15), tie-stable micro-unit top-20
     "q22_ann_lsh" -> AnnLshTopKSql,
     "q44_ann_ivf" -> AnnIvfTopKSql,
+    "q45_ann_ivf_persisted" -> AnnIvfTopKSql,
 
     "q10_exact_dup" ->
       """WITH aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),

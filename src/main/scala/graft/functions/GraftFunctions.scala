@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
 
 /** SQL surface for the engine's native expressions — registered either on
   * a live session ([[GraftFunctions.register]]) or at session build time
@@ -50,7 +51,32 @@ object GraftFunctions {
       (es: Seq[Expression]) => {
         require(es.length == 1, "graft_md5_halves(s)")
         Md5Halves(es(0))
+      }),
+    (FunctionIdentifier("graft_nearest_centroid"),
+      info("graft_nearest_centroid",
+        "graft_nearest_centroid(vec, centroids) - IVF cell id (int); " +
+          "centroids must be a foldable array<array<float>>"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "graft_nearest_centroid(vec, centroids)")
+        NearestCentroid(es(0), foldableCentroids(es(1)))
       }))
+
+  /** Evaluate a foldable `array<array<float>>` centroid literal at plan
+    * time (the matrix must be a constant — it rides the generated class as
+    * a reference object, not a per-row child).
+    */
+  private def foldableCentroids(e: Expression): Seq[Seq[Float]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    require(e.foldable && (e.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }), s"centroids must be a foldable array<array<float>>, got $e")
+    val outer = e.eval(null).asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map { c =>
+      val inner = outer.getArray(c)
+      (0 until inner.numElements()).map(inner.getFloat)
+    }
+  }
 
   /** Register on a live session (idempotent — re-registration overwrites). */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,133 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared machinery for persisted partition-pruned vector stores: a
+  * parquet table `(vec_id, v)` hive-partitioned by one small integer
+  * "coarse bucket" column, with a manifest + atomic publish (the
+  * [[IndexCatalog]] pattern) and crash-safe O(delta) appends.
+  *
+  * [[VectorIndex]] (sign-LSH buckets) and [[IvfIndex]] (nearest-centroid
+  * cells) are both thin quantizer layers over this store — they differ only
+  * in how the partition id is computed and which partitions a query probes;
+  * the write path, manifest lifecycle, and append protocol are identical.
+  *
+  * Layout under `root/`:
+  * {{{
+  *   manifest.json   quantizer config, row count, published flag
+  *   vectors/        parquet (vec_id, v: array<float>), partitioned by pcol
+  * }}}
+  */
+private[index] object VecStore {
+
+  /** Write the initial store in one pass. `assigned` must have columns
+    * `(vec_id: long, v: array<float>, <pcol>: int)`. One shuffle task per
+    * partition value ⇒ one file per partition dir (not every map task
+    * spraying into every dir); vec_id-sorted within for stable reads. The
+    * row count rides the write job via an Observation — no second full
+    * read of the freshly written store. The manifest commit (`published`)
+    * is LAST: a crash before it leaves orphan dirs the next build
+    * overwrites.
+    */
+  def writeInitial(assigned: DataFrame, pcol: String, nParts: Int,
+      root: String, config: Map[String, String]): Unit = {
+    val spark = assigned.sparkSession
+    val f = IndexCatalog.fs(spark, root)
+    val tmp = s"$root/_tmp_vectors"
+    f.delete(new Path(tmp), true)
+    val obs = org.apache.spark.sql.Observation()
+    assigned
+      .repartition(nParts, col(pcol))
+      .sortWithinPartitions(col("vec_id"))
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.partitionBy(pcol).parquet(tmp)
+    val rows = obs.get("rows").asInstanceOf[Long]
+    val dst = new Path(s"$root/vectors")
+    f.delete(dst, true)
+    f.rename(new Path(tmp), dst)
+    IndexCatalog.writeManifest(spark, root,
+      config + ("rows" -> rows.toString) + ("published" -> "true"))
+  }
+
+  /** Phase 1 of an append (STAGE): write the assigned delta
+    * partition-sorted under a generation-unique stage dir and commit
+    * `append.staged`. Idempotent per generation; a crash after the commit
+    * is finished by [[resumeAppend]].
+    */
+  def stage(assigned: DataFrame, pcol: String, nParts: Int,
+      root: String): Int = {
+    val spark = assigned.sparkSession
+    val m = IndexCatalog.readManifest(spark, root)
+    require(m.getOrElse("published", "") == "true",
+      s"no published vector store at $root")
+    val g = m.getOrElse("append.gen", "0").toInt + 1
+    val stageDir = s"$root/_vec_stage_$g"
+    val f = IndexCatalog.fs(spark, root)
+    f.delete(new Path(stageDir), true)
+    val obs = org.apache.spark.sql.Observation()
+    assigned
+      .repartition(nParts, col(pcol))
+      .sortWithinPartitions(col("vec_id"))
+      .observe(obs, count(lit(1)).as("rows")) // one pass: count rides the write
+      .write.partitionBy(pcol).parquet(stageDir)
+    val deltaRows = obs.get("rows").asInstanceOf[Long]
+    IndexCatalog.writeManifest(spark, root, IndexCatalog.readManifest(spark, root) +
+      ("append.staged" -> g.toString) +
+      (s"append.$g.rows" -> deltaRows.toString))
+    g
+  }
+
+  /** Finish an append interrupted between stage-commit and publish-commit.
+    * No-op when nothing is pending.
+    */
+  def resumeAppend(spark: SparkSession, root: String, pcol: String): Unit = {
+    val m = IndexCatalog.readManifest(spark, root)
+    m.get("append.staged").foreach { g =>
+      if (m.getOrElse("append.gen", "0") != g) publish(spark, root, pcol, g.toInt)
+    }
+  }
+
+  /** Phase 2 of an append (PUBLISH): move staged files into live partition
+    * dirs under generation-unique names (re-runs skip files already moved —
+    * src gone or dst present), then one manifest write commits
+    * `append.gen`. Every step is idempotent.
+    */
+  def publish(spark: SparkSession, root: String, pcol: String, g: Int): Unit = {
+    val f = IndexCatalog.fs(spark, root)
+    val stageDir = s"$root/_vec_stage_$g"
+    def moveFiles(srcDir: String, dstDir: String): Unit = {
+      val sp = new Path(srcDir)
+      if (!f.exists(sp)) return
+      f.listStatus(sp).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith(s"$pcol="))
+          moveFiles(s"$srcDir/$n", s"$dstDir/$n")
+        else if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+          val dst = new Path(s"$dstDir/append_${g}_$n")
+          f.mkdirs(new Path(dstDir))
+          if (!f.exists(dst)) f.rename(st.getPath, dst)
+          else f.delete(st.getPath, false)
+        }
+      }
+    }
+    moveFiles(stageDir, s"$root/vectors")
+    val m = IndexCatalog.readManifest(spark, root)
+    val newRows = m.getOrElse("rows", "0").toLong +
+      m.getOrElse(s"append.$g.rows", "0").toLong
+    IndexCatalog.writeManifest(spark, root,
+      m - "append.staged" - s"append.$g.rows" +
+        ("append.gen" -> g.toString) + ("rows" -> newRows.toString))
+    f.delete(new Path(stageDir), true)
+    ()
+  }
+
+  /** The stored vectors (with their partition column). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val m = IndexCatalog.readManifest(spark, root)
+    require(m.getOrElse("published", "") == "true",
+      s"no published vector store at $root")
+    spark.read.parquet(s"$root/vectors")
+  }
+}

@@ -1,6 +1,5 @@
 package graft.index
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,9 +7,10 @@ import graft.pipeline.Similarity
 
 /** Persisted ANN index over an embedding column: the sign-LSH bucket
   * assignment written ONCE as a bucket-partitioned parquet table (manifest +
-  * atomic publish, the [[IndexCatalog]] pattern), so a top-k query is a
-  * PARTITION-PRUNED scan of the ≤ nBits+1 multiprobe buckets instead of
-  * recomputing `signLshBucket` over the whole corpus per query.
+  * atomic publish via [[VecStore]], the [[IndexCatalog]] pattern), so a
+  * top-k query is a PARTITION-PRUNED scan of the ≤ nBits+1 multiprobe
+  * buckets instead of recomputing `signLshBucket` over the whole corpus per
+  * query.
   *
   * This is the scale answer to the query-time plan in
   * [[graft.pipeline.Similarity.lshProbeCandidates]] (kept as the index-free
@@ -19,13 +19,8 @@ import graft.pipeline.Similarity
   * partition metadata and the scan touches ~(nBits+1)/2^nBits of the store
   * — with nBits=8, 9 of 256 buckets. Recall is identical by construction
   * (same hash family, same multiprobe set; parity pinned by
-  * VectorIndexSpec).
-  *
-  * Layout under `root/`:
-  * {{{
-  *   manifest.json   config.dim / config.nBits / row count, published flag
-  *   vectors/        parquet (vec_id, v: array<float>), partitioned by bucket
-  * }}}
+  * VectorIndexSpec). The data-ADAPTIVE alternative is [[IvfIndex]] (same
+  * store, nearest-centroid cells instead of hyperplane buckets).
   */
 object VectorIndex {
 
@@ -45,34 +40,16 @@ object VectorIndex {
           s"(dim=${m.get("config.dim")}, nBits=${m.get("config.nBits")})")
       return
     }
-    val f = IndexCatalog.fs(spark, root)
-    val tmp = s"$root/_tmp_vectors"
-    f.delete(new Path(tmp), true)
-    val nBuckets = 1 << nBits
-    val assigned = emb.select(col(id).cast("long").as("vec_id"),
-        col(vec).as("v"),
-        Similarity.signLshBucket(col(vec), dim, nBits).as("bucket"))
-      // one shuffle task per bucket ⇒ one file per bucket dir (not every
-      // map task spraying into every bucket); vec_id-sorted within for
-      // stable reads
-      .repartition(nBuckets, col("bucket"))
-      .sortWithinPartitions(col("vec_id"))
-    // row count via an Observation on the write job itself — no second
-    // full read of the freshly written store (at 10^12 vectors that
-    // recount is a full scan paid for one manifest number)
-    val obs = org.apache.spark.sql.Observation()
-    assigned.observe(obs, count(lit(1)).as("rows"))
-      .write.partitionBy("bucket").parquet(tmp)
-    val rows = obs.get("rows").asInstanceOf[Long]
-    val dst = new Path(s"$root/vectors")
-    f.delete(dst, true)
-    f.rename(new Path(tmp), dst)
-    IndexCatalog.writeManifest(spark, root, Map(
-      "config.dim" -> dim.toString,
-      "config.nBits" -> nBits.toString,
-      "rows" -> rows.toString,
-      "published" -> "true"))
+    VecStore.writeInitial(assigned(emb, id, vec, dim, nBits), "bucket",
+      1 << nBits, root, Map(
+        "config.dim" -> dim.toString,
+        "config.nBits" -> nBits.toString))
   }
+
+  private def assigned(emb: DataFrame, id: String, vec: String,
+      dim: Int, nBits: Int): DataFrame =
+    emb.select(col(id).cast("long").as("vec_id"), col(vec).as("v"),
+      Similarity.signLshBucket(col(vec), dim, nBits).as("bucket"))
 
   /** Crash-safe incremental append — the ANN mirror of
     * [[IndexCatalog.addDocuments]], simpler because bucket assignment has
@@ -88,7 +65,7 @@ object VectorIndex {
     val spark = emb.sparkSession
     resumeAppend(spark, root)
     val g = stageVectors(emb, id, vec, root)
-    publishVecAppend(spark, root, g)
+    VecStore.publish(spark, root, "bucket", g)
   }
 
   /** Phase 1 only (STAGE) — exposed for the crash-resume test, which
@@ -100,71 +77,18 @@ object VectorIndex {
     val m = IndexCatalog.readManifest(spark, root)
     require(m.getOrElse("published", "") == "true", s"no published vector index at $root")
     val (dim, nBits) = (m("config.dim").toInt, m("config.nBits").toInt)
-    val g = m.getOrElse("append.gen", "0").toInt + 1
-    val stageDir = s"$root/_vec_stage_$g"
-    val f = IndexCatalog.fs(spark, root)
-    f.delete(new Path(stageDir), true)
-    val obs = org.apache.spark.sql.Observation()
-    emb.select(col(id).cast("long").as("vec_id"), col(vec).as("v"),
-        Similarity.signLshBucket(col(vec), dim, nBits).as("bucket"))
-      .repartition(1 << nBits, col("bucket"))
-      .sortWithinPartitions(col("vec_id"))
-      .observe(obs, count(lit(1)).as("rows")) // one pass: count rides the write
-      .write.partitionBy("bucket").parquet(stageDir)
-    val deltaRows = obs.get("rows").asInstanceOf[Long]
-    IndexCatalog.writeManifest(spark, root, IndexCatalog.readManifest(spark, root) +
-      ("append.staged" -> g.toString) +
-      (s"append.$g.rows" -> deltaRows.toString))
-    g
+    VecStore.stage(assigned(emb, id, vec, dim, nBits), "bucket", 1 << nBits, root)
   }
 
   /** Finish an append interrupted between stage-commit and publish-commit.
     * No-op when nothing is pending.
     */
-  def resumeAppend(spark: SparkSession, root: String): Unit = {
-    val m = IndexCatalog.readManifest(spark, root)
-    m.get("append.staged").foreach { g =>
-      if (m.getOrElse("append.gen", "0") != g) publishVecAppend(spark, root, g.toInt)
-    }
-  }
-
-  private def publishVecAppend(spark: SparkSession, root: String, g: Int): Unit = {
-    val f = IndexCatalog.fs(spark, root)
-    val stageDir = s"$root/_vec_stage_$g"
-    // move staged files into live bucket dirs under generation-unique
-    // names; re-runs skip files already moved (src gone or dst present)
-    def moveFiles(srcDir: String, dstDir: String): Unit = {
-      val sp = new Path(srcDir)
-      if (!f.exists(sp)) return
-      f.listStatus(sp).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith("bucket="))
-          moveFiles(s"$srcDir/$n", s"$dstDir/$n")
-        else if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
-          val dst = new Path(s"$dstDir/append_${g}_$n")
-          f.mkdirs(new Path(dstDir))
-          if (!f.exists(dst)) f.rename(st.getPath, dst)
-          else f.delete(st.getPath, false)
-        }
-      }
-    }
-    moveFiles(stageDir, s"$root/vectors")
-    val m = IndexCatalog.readManifest(spark, root)
-    val newRows = m.getOrElse("rows", "0").toLong +
-      m.getOrElse(s"append.$g.rows", "0").toLong
-    IndexCatalog.writeManifest(spark, root,
-      m - "append.staged" - s"append.$g.rows" +
-        ("append.gen" -> g.toString) + ("rows" -> newRows.toString))
-    f.delete(new Path(stageDir), true)
-    ()
-  }
+  def resumeAppend(spark: SparkSession, root: String): Unit =
+    VecStore.resumeAppend(spark, root, "bucket")
 
   /** The stored vectors (with their `bucket` partition column). */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val m = IndexCatalog.readManifest(spark, root)
-    require(m.getOrElse("published", "") == "true", s"no published vector index at $root")
-    spark.read.parquet(s"$root/vectors")
-  }
+  def read(spark: SparkSession, root: String): DataFrame =
+    VecStore.read(spark, root)
 
   private def config(spark: SparkSession, root: String): (Int, Int) = {
     val m = IndexCatalog.readManifest(spark, root)

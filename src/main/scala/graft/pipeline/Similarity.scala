@@ -138,16 +138,28 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
   }
 
-  /** Nearest-centroid cell id as a pure codegen'd column: a LINEAR-size
-    * argmax over the centroid set — one `array_max` over
-    * `struct(cosine, -cell)` entries (struct ordering = highest cosine,
-    * then lowest cell), each centroid's cosine computed exactly once. No
-    * join, no shuffle: assignment is a map over the corpus, `nCells · dim`
-    * multiply-adds per vector.
+  /** Nearest-centroid cell id as a pure codegen'd column: one fused
+    * argmax loop over the centroid matrix
+    * ([[graft.functions.NearestCentroid]] — centroids ride the generated
+    * class as a reference object, so CODE size is O(1) while the work
+    * stays `nCells · dim` multiply-adds per vector). No join, no shuffle:
+    * assignment is a map over the corpus. Bit-identical to
+    * [[ivfCellColComposed]] (pinned by IvfSpec); the composed form's
+    * generated code is O(nCells·dim) and janino rejects it at a few
+    * hundred centroids.
     */
-  def ivfCellCol(vec: Column, centroids: Array[(Int, Array[Float])]): Column = {
+  def ivfCellCol(vec: Column, centroids: Array[(Int, Array[Float])]): Column =
+    graft.functions.NearestCentroid.cellCol(vec, centroids)
+
+  /** The composed-builtins formulation of [[ivfCellCol]] (parity reference
+    * for IvfSpec): `array_max` over `struct(cosine, -cell)` entries
+    * (struct ordering = highest cosine, then lowest cell). Only viable for
+    * small centroid sets — generated code is O(nCells·dim).
+    */
+  private[graft] def ivfCellColComposed(vec: Column,
+      centroids: Array[(Int, Array[Float])]): Column = {
     val entries = centroids.map { case (cid, cv) =>
-      struct(cosine(vec, array(cv.map(v => lit(v)): _*)).as("cc"),
+      struct(cosine(vec, array(cv.toIndexedSeq.map(v => lit(v)): _*)).as("cc"),
         lit(-cid).as("negc"))
     }
     (-array_max(array(entries.toSeq: _*)).getField("negc")).cast("int")
@@ -155,9 +167,11 @@ object Similarity {
 
   /** Driver-side cosine with the SAME index-order double accumulation as
     * the codegen'd column path (probe-cell selection must rank centroids
-    * the way the distributed plan would).
+    * the way the distributed plan would). Shared with
+    * [[graft.index.IvfIndex]], whose probe ranking must match this one
+    * exactly (parity pinned by IvfIndexSpec).
     */
-  private def cosineLocal(a: Array[Float], b: Seq[Float]): Double = {
+  private[graft] def cosineLocal(a: Array[Float], b: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
       val x = a(i).toDouble; val y = b(i).toDouble

@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.index.IvfIndex
+import graft.pipeline.Similarity
+
+/** Persisted IVF index: parity with the index-free recompute path
+  * ([[Similarity.ivfCosineTopK]]), PARTITION PRUNING on the probe scan,
+  * and the frozen-quantizer append semantics (deltas are assigned against
+  * the STORED centroids, not a re-sampled quantizer).
+  */
+class IvfIndexSpec extends TestBase {
+
+  private val dim = 16
+  private val nCells = 8
+
+  private def vectors = {
+    import spark.implicits._
+    (0L until 300L).map(i =>
+      (i, Array.tabulate(dim)(d => (((i * 37 + d * 13) % 19) - 9).toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def builtRoot(): String = {
+    val root = Files.createTempDirectory("graft_ivf_").toString
+    IvfIndex.build(vectors, "vec_id", "embedding", dim, nCells, root)
+    root
+  }
+
+  test("stored centroids equal the index-free deterministic sample") {
+    val root = builtRoot()
+    val stored = IvfIndex.centroids(spark, root)
+    val free = Similarity.ivfCentroids(vectors, "vec_id", "embedding", nCells)
+    assert(stored.length == nCells)
+    assert(stored.map(_._1).toSeq == free.map(_._1).toSeq)
+    assert(stored.map(_._2.toSeq).toSeq == free.map(_._2.toSeq).toSeq)
+  }
+
+  test("annTopK matches the index-free ivfCosineTopK exactly") {
+    val root = builtRoot()
+    val q = vectors.filter(col("vec_id") === 7).head().getSeq[Float](1)
+    val got = IvfIndex.annTopK(spark, root, q, 25, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.ivfCosineTopK(vectors, "vec_id", "embedding",
+      nCells, 3, q, 25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    // and nProbe = nCells degenerates to exact brute force
+    val exact = Similarity.cosineTopK(vectors, "vec_id", "embedding", q, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = IvfIndex.annTopK(spark, root, q, 25, nProbe = nCells).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+  }
+
+  test("probe scan prunes to the probe-cell partitions only") {
+    val root = builtRoot()
+    val q = vectors.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val probes = IvfIndex.probeSet(spark, root, q, nProbe = 2).toSet
+    assert(probes.size == 2)
+
+    val df = IvfIndex.probeCandidates(spark, root, q, nProbe = 2)
+    df.collect() // execute so AQE finalizes and scan metrics fill
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters: [cell"),
+      s"no partition filter on the vector scan:\n$plan")
+    val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+    val vecScan = scans.find(_.toString.contains("vectors")).getOrElse(
+      fail(s"no file scan over the vector store in:\n$plan"))
+    val nParts = vecScan.selectedPartitions.partitionCount
+    assert(nParts <= probes.size,
+      s"probe scan read $nParts partitions for ${probes.size} probes")
+    // and strictly fewer than the store holds (i.e. pruning really pruned)
+    val total = IvfIndex.read(spark, root)
+      .select("cell").distinct().count()
+    assert(nParts < total, s"scan read all $total partitions")
+  }
+
+  test("probe sets are nested in nProbe; recall monotone up to exact") {
+    val root = builtRoot()
+    val q = vectors.filter(col("vec_id") === 11).head().getSeq[Float](1)
+    val sets = (1 to nCells).map(p => IvfIndex.probeSet(spark, root, q, p).toSet)
+    sets.sliding(2).foreach { case Seq(a, b) => assert(a.subsetOf(b)) }
+    assert(sets.last.size == nCells)
+
+    val k = 20
+    val exact = Similarity.cosineTopK(vectors, "vec_id", "embedding", q, k)
+      .collect().map(_.getLong(0)).toSet
+    def recall(p: Int): Double = {
+      val got = IvfIndex.annTopK(spark, root, q, k, nProbe = p)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / k
+    }
+    val rs = (1 to nCells).map(recall)
+    rs.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b, s"recall not monotone: $rs") }
+    assert(rs.last == 1.0, s"full probe must be exact: $rs")
+  }
+
+  test("build is idempotent; mismatched config is rejected") {
+    val root = builtRoot()
+    val before = Files.readString(java.nio.file.Paths.get(s"$root/manifest.json"))
+    IvfIndex.build(vectors, "vec_id", "embedding", dim, nCells, root)
+    val after = Files.readString(java.nio.file.Paths.get(s"$root/manifest.json"))
+    assert(before == after)
+    intercept[IllegalArgumentException] {
+      IvfIndex.build(vectors, "vec_id", "embedding", dim, nCells + 1, root)
+    }
+  }
+
+  test("appends assign against the FROZEN quantizer; staged crash is resumed") {
+    val all = vectors
+    val a = all.filter(col("vec_id") < 200)
+    val b = all.filter(col("vec_id") >= 200)
+    val root = Files.createTempDirectory("graft_ivfapp_").toString
+    IvfIndex.build(a, "vec_id", "embedding", dim, nCells, root)
+    val frozen = IvfIndex.centroids(spark, root)
+    IvfIndex.addVectors(b, "vec_id", "embedding", root)
+
+    // centroids untouched by the append (quantizer frozen at build)
+    val after = IvfIndex.centroids(spark, root)
+    assert(after.map(_._2.toSeq).toSeq == frozen.map(_._2.toSeq).toSeq)
+
+    // stored assignment == the union assigned under the FROZEN centroids
+    // (NOT build(union): a union build re-samples the quantizer)
+    val want = all.select(col("vec_id"),
+      Similarity.ivfCellCol(col("embedding"), frozen).as("cell"))
+    assert(IvfIndex.read(spark, root).select("vec_id", "cell")
+      .exceptAll(want).count() == 0)
+    assert(IvfIndex.read(spark, root).count() == 300)
+
+    // full probe over the appended store is exact over the union
+    val q = all.filter(col("vec_id") === 123).head().getSeq[Float](1)
+    val got = IvfIndex.annTopK(spark, root, q, 30, nProbe = nCells).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Similarity.cosineTopK(all, "vec_id", "embedding", q, 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact)
+
+    // crash between stage-commit and publish: readers see the pre-append
+    // index; resume completes the publish idempotently
+    val root2 = Files.createTempDirectory("graft_ivfapp2_").toString
+    IvfIndex.build(a, "vec_id", "embedding", dim, nCells, root2)
+    IvfIndex.stageVectors(b, "vec_id", "embedding", root2)
+    assert(IvfIndex.read(spark, root2).count() == 200,
+      "staged-only append must not touch the live store")
+    IvfIndex.resumeAppend(spark, root2)
+    assert(IvfIndex.read(spark, root2).count() == 300)
+    IvfIndex.resumeAppend(spark, root2)
+    assert(IvfIndex.read(spark, root2).count() == 300)
+  }
+
+  test("clustered vectors: persisted IVF beats persisted LSH recall at equal scan fraction") {
+    // the quantizer-adapts-to-density claim, measured at an EXACTLY equal
+    // scan budget of 1/16 of the store, each family using its own
+    // multiprobe mechanism at that budget: IVF probes its 4 best of 64
+    // cells, sign-LSH its Hamming≤1 set of 8 of 128 buckets (nBits=7).
+    // On the Gaussian-mixture fixture a query's true top-20 live in its
+    // own cluster; the sampled quantizer keeps clusters whole where
+    // random hyperplanes cut through them, so IVF recall@20 must win
+    // (sweep: 0.933 vs 0.800 — single-probe-vs-single-bucket is a wash at
+    // 0.65/0.67, the adaptivity win IS the multiprobe regime).
+    // Deterministic (seeded fixture, fixed queries) — not statistical.
+    import graft.tools.VectorFixtures
+    val n = 2000; val d = 64; val k = 20
+    val emb = VectorFixtures.clustered(spark, n, d, n / 40, 0.25, 7L).cache()
+    try {
+      val ivfRoot = Files.createTempDirectory("graft_ivffix_").toString
+      IvfIndex.build(emb, "vec_id", "embedding", d, 64, ivfRoot)
+      val lshRoot = Files.createTempDirectory("graft_lshfix_").toString
+      graft.index.VectorIndex.build(emb, "vec_id", "embedding", d, 7, lshRoot)
+      val qids = Seq(3L, 401L, 807L, 1203L, 1609L, 1999L)
+      val qs = emb.filter(col("vec_id").isin(qids: _*)).collect()
+        .map(_.getSeq[Float](1))
+      def recalls(top: Seq[Float] => Set[Long]): Double = {
+        val rs = qs.map { q =>
+          val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, k)
+            .collect().map(_.getLong(0)).toSet
+          exact.intersect(top(q)).size.toDouble / k
+        }
+        rs.sum / rs.length
+      }
+      val ivf = recalls(q => IvfIndex.annTopK(spark, ivfRoot, q, k, nProbe = 4)
+        .collect().map(_.getLong(0)).toSet)
+      val lsh = recalls(q =>
+        graft.index.VectorIndex.annTopK(spark, lshRoot, q, k, maxHamming = 1)
+          .collect().map(_.getLong(0)).toSet)
+      assert(ivf > lsh,
+        s"IVF recall $ivf not above LSH recall $lsh on clustered vectors")
+      assert(ivf >= 0.85, s"IVF clustered recall@$k too low: $ivf")
+    } finally { emb.unpersist(); () }
+  }
+}

@@ -58,6 +58,74 @@ class IvfSpec extends TestBase {
     assert(c2.contains(7L))
   }
 
+  test("native NearestCentroid is bit-identical to the composed argmax, incl. dirty inputs") {
+    import spark.implicits._
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    // clean corpus: every assignment agrees
+    val diff = emb.select(
+        Similarity.ivfCellCol(col("embedding"), cents).as("native"),
+        Similarity.ivfCellColComposed(col("embedding"), cents).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(diff == 0)
+    // dirty inputs: null vector, null element, wrong length — parity must
+    // hold on every one. (A ZERO vector is the documented divergence: the
+    // composed form throws DIVIDE_BY_ZERO under ANSI mode, the native form
+    // keeps IEEE semantics — all cosines NaN, NaN sorts greatest, tie →
+    // cell 0 — i.e. strictly more tolerant; asserted separately below.)
+    val dim = cents.head._2.length
+    val dirty = Seq[(Long, Option[Seq[Option[Float]]])](
+      (1L, None),
+      (2L, Some(Seq.fill(dim)(Option(1.0f)).updated(3, None))),
+      (3L, Some(Seq.fill(dim - 2)(Option(0.5f)))),
+      (4L, Some(Seq.fill(dim + 3)(Option(0.5f)))),
+      (6L, Some(Seq.tabulate(dim)(i => Option(i.toFloat - 3f)))))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val dirtyDiff = dirty.select(
+        Similarity.ivfCellCol(col("embedding"), cents).as("native"),
+        Similarity.ivfCellColComposed(col("embedding"), cents).as("composed"))
+      .filter(not(col("native") <=> col("composed"))).count()
+    assert(dirtyDiff == 0)
+    val zeroVec = Seq(Tuple1(Seq.fill(dim)(0.0f))).toDF("embedding")
+      .select(col("embedding").cast("array<float>").as("embedding"))
+    assert(zeroVec.select(Similarity.ivfCellCol(col("embedding"), cents))
+      .head().getInt(0) == 0)
+    // SQL surface: graft_nearest_centroid over a foldable literal matrix
+    graft.functions.GraftFunctions.register(spark)
+    emb.limit(50).createOrReplaceTempView("ivf_sql_emb")
+    val lits = cents.map(_._2.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val viaSql = spark.sql(
+      s"SELECT vec_id, graft_nearest_centroid(embedding, $lits) AS cell FROM ivf_sql_emb")
+    val viaCol = emb.limit(50).select(col("vec_id"),
+      Similarity.ivfCellCol(col("embedding"), cents).as("cell"))
+    assert(viaSql.exceptAll(viaCol).count() == 0)
+  }
+
+  test("assignment survives codegen at 512 cells (reference-object matrix)") {
+    // the composed argmax's generated code is O(nCells·dim): at 512 cells
+    // janino rejects the method and Spark silently falls back to the
+    // interpreted path corpus-wide. The native expression's code is O(1).
+    // fallback=false turns a codegen failure into a thrown error, so this
+    // test FAILS (not slows) if the expression ever regresses to inline
+    // code growth.
+    val ds = graft.tools.VectorFixtures.clustered(spark, 2048, 64, 512, 0.25, 13L)
+    val cents = Similarity.ivfCentroids(ds, "vec_id", "embedding", 512)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val asg = ds.select(col("vec_id"),
+        Similarity.ivfCellCol(col("embedding"), cents).as("cell"))
+      assert(asg.filter(col("cell") < 0 || col("cell") >= 512).count() == 0)
+      assert(asg.count() == 2048)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("clustered vectors: probing 1/8 of cells finds most of the true top-k") {
     val ds = graft.tools.VectorFixtures
       .clustered(spark, 1600, 64, 40, 0.25, 11L).cache()
