@@ -206,6 +206,37 @@ object IndexCache {
       root
     })
 
+  /** Streamed IVF index under the gate: the first HALF of the embeddings
+    * (vec_id < count/2) seeds the persisted [[graft.index.IvfIndex]] — and
+    * therefore its FROZEN centroid sample — and the rest arrives as a file
+    * STREAM (one micro-batch per file) through
+    * [[graft.streaming.StreamingVectorIndexer]], each batch one
+    * exactly-once O(batch) append. The oracle recomputes the centroid
+    * sample over the build slice only but assigns/probes the FULL corpus,
+    * so a dropped/duplicated batch OR a quantizer re-train both break the
+    * hash.
+    */
+  private val sivfCache = TrieMap.empty[String, String]
+  def ivfStreamed(spark: SparkSession, dir: String): String =
+    sivfCache.getOrElseUpdate(dir, {
+      val root = s"/tmp/graft_gate_sivf_${sanitize(dir)}"
+      wipe(spark, root)
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val half = e.count() / 2
+      val idxRoot = s"$root/idx"
+      graft.index.IvfIndex.build(e.filter(col("vec_id") < half),
+        "vec_id", "embedding", 64, 16, idxRoot)
+      val srcDir = s"$root/src"
+      e.filter(col("vec_id") >= half).repartition(3).write.parquet(srcDir)
+      val stream = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = graft.streaming.StreamingVectorIndexer.start(
+        stream, "vec_id", "embedding", idxRoot, s"$root/ckpt")
+      q.awaitTermination()
+      idxRoot
+    })
+
   /** Compressed block table for the documents index, built ONCE per dir and
     * cached: BlockMaxTopK runs three actions over the block table (UB probe,
     * θ scoring, final scan) — without this the full postings→blocks shuffle
@@ -367,6 +398,50 @@ object SparkEntry {
       |cents AS (SELECT row_number() OVER (ORDER BY hk ASC, vec_id ASC) - 1 AS cell,
       |    embedding AS cv
       |  FROM hk ORDER BY hk ASC, vec_id ASC LIMIT 16),
+      |cc AS (SELECT e.vec_id, c.cell,
+      |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)) AS dot,
+      |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS ne,
+      |    sum(CAST(c.cv[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)) AS nc
+      |  FROM embeddings e, cents c, generate_series(1, 64) g(i)
+      |  GROUP BY e.vec_id, c.cell),
+      |asg AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY dot / (sqrt(ne) * sqrt(nc)) DESC, cell ASC) AS rn
+      |    FROM cc) WHERE rn = 1),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |qc AS (SELECT c.cell,
+      |    sum(CAST(c.cv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dot,
+      |    sum(CAST(c.cv[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)) AS nc,
+      |    sum(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS nq
+      |  FROM cents c, q, generate_series(1, 64) g(i) GROUP BY c.cell),
+      |probes AS (SELECT cell FROM (
+      |    SELECT cell, row_number() OVER (
+      |      ORDER BY dot / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) AS rn
+      |    FROM qc) WHERE rn <= 4),
+      |cand AS (SELECT a.vec_id FROM asg a JOIN probes p ON a.cell = p.cell),
+      |parts AS (SELECT e.vec_id,
+      |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dot,
+      |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS nd,
+      |    sum(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS nq
+      |  FROM embeddings e JOIN cand c2 ON e.vec_id = c2.vec_id, q, generate_series(1, 64) g(i)
+      |  GROUP BY e.vec_id)
+      |SELECT vec_id, CAST(round((dot / (sqrt(nd) * sqrt(nq))) * 1000000.0) AS BIGINT) AS cos_micro
+      |FROM parts ORDER BY cos_micro DESC, vec_id ASC LIMIT 20""".stripMargin
+
+  /** Oracle for q46 (streamed IVF): as [[AnnIvfTopKSql]] but the centroid
+    * sample is drawn from the BUILD slice only (vec_id < count/2 — the
+    * quantizer is frozen before the stream starts), while assignment and
+    * probing cover the full corpus including every streamed batch.
+    */
+  private val AnnIvfStreamedSql: String =
+    """WITH hk AS (SELECT vec_id, embedding,
+      |    CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+      |  FROM embeddings),
+      |cents AS (SELECT row_number() OVER (ORDER BY hk ASC, vec_id ASC) - 1 AS cell,
+      |    embedding AS cv
+      |  FROM hk WHERE vec_id < (SELECT count(*) // 2 FROM embeddings)
+      |  ORDER BY hk ASC, vec_id ASC LIMIT 16),
       |cc AS (SELECT e.vec_id, c.cell,
       |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)) AS dot,
       |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS ne,
@@ -780,6 +855,23 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // STREAMED IVF ingestion under the gate: half the corpus seeds the
+    // index (freezing the centroid sample), the rest arrives as file
+    // micro-batches through StreamingVectorIndexer's exactly-once append
+    // protocol. The oracle samples centroids from the build slice but
+    // assigns and probes the FULL corpus — a dropped/duplicated batch or
+    // a re-trained quantizer breaks the hash. Same tie-stable micro-unit
+    // top-20 cut.
+    "q46_ann_ivf_streamed" -> ((s, dir) => {
+      val root = IndexCache.ivfStreamed(s, dir)
+      val q = emb(s, dir).filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      graft.index.IvfIndex.probeCandidates(s, root, q, nProbe = 4)
+        .select(col("vec_id"), micro(col("cos")).as("cos_micro"))
+        .orderBy(col("cos_micro").desc, col("vec_id").asc)
+        .limit(20)
+    }),
+
     // the PERSISTED ANN index: same hash family / multiprobe set / exact
     // cosine as q22, but served from the bucket-partitioned VectorIndex —
     // the probe scan reads only the ≤9 probe-bucket partitions (pruning
@@ -1031,6 +1123,7 @@ object SparkEntry {
     "q22_ann_lsh" -> AnnLshTopKSql,
     "q44_ann_ivf" -> AnnIvfTopKSql,
     "q45_ann_ivf_persisted" -> AnnIvfTopKSql,
+    "q46_ann_ivf_streamed" -> AnnIvfStreamedSql,
 
     "q10_exact_dup" ->
       """WITH aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),

@@ -110,15 +110,17 @@ object IvfIndex {
     VecStore.publish(spark, root, "cell", g)
   }
 
-  /** Phase 1 only (STAGE) — exposed for the crash-resume test. */
+  /** Phase 1 only (STAGE) — exposed for the crash-resume test and the
+    * streaming ingester's batch marker.
+    */
   private[graft] def stageVectors(emb: DataFrame, id: String, vec: String,
-      root: String): Int = {
+      root: String, extra: Map[String, String] = Map.empty): Int = {
     val spark = emb.sparkSession
     val m = IndexCatalog.readManifest(spark, root)
     require(m.getOrElse("published", "") == "true", s"no published IVF index at $root")
     val cents = centroids(spark, root)
     VecStore.stage(assigned(emb, id, vec, cents), "cell",
-      m("config.nCells").toInt, root)
+      m("config.nCells").toInt, root, extra)
   }
 
   /** Finish an append interrupted between stage-commit and publish-commit.

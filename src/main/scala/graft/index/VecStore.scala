@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *   vectors/        parquet (vec_id, v: array<float>), partitioned by pcol
   * }}}
   */
-private[index] object VecStore {
+private[graft] object VecStore {
 
   /** Write the initial store in one pass. `assigned` must have columns
     * `(vec_id: long, v: array<float>, <pcol>: int)`. One shuffle task per
@@ -54,10 +54,13 @@ private[index] object VecStore {
   /** Phase 1 of an append (STAGE): write the assigned delta
     * partition-sorted under a generation-unique stage dir and commit
     * `append.staged`. Idempotent per generation; a crash after the commit
-    * is finished by [[resumeAppend]].
+    * is finished by [[resumeAppend]]. `extra` entries ride the same
+    * stage-commit manifest write (e.g. the streaming ingester's
+    * `stream.stagedBatch` marker — committed atomically with the stage,
+    * so a replayed micro-batch can recognize its own crashed attempt).
     */
   def stage(assigned: DataFrame, pcol: String, nParts: Int,
-      root: String): Int = {
+      root: String, extra: Map[String, String] = Map.empty): Int = {
     val spark = assigned.sparkSession
     val m = IndexCatalog.readManifest(spark, root)
     require(m.getOrElse("published", "") == "true",
@@ -73,7 +76,8 @@ private[index] object VecStore {
       .observe(obs, count(lit(1)).as("rows")) // one pass: count rides the write
       .write.partitionBy(pcol).parquet(stageDir)
     val deltaRows = obs.get("rows").asInstanceOf[Long]
-    IndexCatalog.writeManifest(spark, root, IndexCatalog.readManifest(spark, root) +
+    IndexCatalog.writeManifest(spark, root, IndexCatalog.readManifest(spark, root) ++
+      extra +
       ("append.staged" -> g.toString) +
       (s"append.$g.rows" -> deltaRows.toString))
     g
@@ -92,7 +96,12 @@ private[index] object VecStore {
   /** Phase 2 of an append (PUBLISH): move staged files into live partition
     * dirs under generation-unique names (re-runs skip files already moved —
     * src gone or dst present), then one manifest write commits
-    * `append.gen`. Every step is idempotent.
+    * `append.gen`. Every step is idempotent. A `stream.stagedBatch` marker
+    * left by [[graft.streaming.StreamingVectorIndexer]] is promoted to
+    * `stream.lastBatch` IN the commit write — publish and batch-applied
+    * are one atomic manifest transition, whichever code path (the
+    * ingester, a direct addVectors resume, or an explicit resumeAppend)
+    * finishes the crashed append.
     */
   def publish(spark: SparkSession, root: String, pcol: String, g: Int): Unit = {
     val f = IndexCatalog.fs(spark, root)
@@ -116,12 +125,22 @@ private[index] object VecStore {
     val m = IndexCatalog.readManifest(spark, root)
     val newRows = m.getOrElse("rows", "0").toLong +
       m.getOrElse(s"append.$g.rows", "0").toLong
+    val promoted = m.get("stream.stagedBatch") match {
+      case Some(b) => m - "stream.stagedBatch" + ("stream.lastBatch" -> b)
+      case None => m
+    }
     IndexCatalog.writeManifest(spark, root,
-      m - "append.staged" - s"append.$g.rows" +
+      promoted - "append.staged" - s"append.$g.rows" +
         ("append.gen" -> g.toString) + ("rows" -> newRows.toString))
     f.delete(new Path(stageDir), true)
     ()
   }
+
+  /** The store's manifest (for family dispatch / batch markers — the
+    * manifest format itself stays [[IndexCatalog]]-private).
+    */
+  def manifest(spark: SparkSession, root: String): Map[String, String] =
+    IndexCatalog.readManifest(spark, root)
 
   /** The stored vectors (with their partition column). */
   def read(spark: SparkSession, root: String): DataFrame = {

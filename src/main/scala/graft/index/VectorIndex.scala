@@ -72,12 +72,13 @@ object VectorIndex {
     * "crashes" here and recovers via [[resumeAppend]].
     */
   private[graft] def stageVectors(emb: DataFrame, id: String, vec: String,
-      root: String): Int = {
+      root: String, extra: Map[String, String] = Map.empty): Int = {
     val spark = emb.sparkSession
     val m = IndexCatalog.readManifest(spark, root)
     require(m.getOrElse("published", "") == "true", s"no published vector index at $root")
     val (dim, nBits) = (m("config.dim").toInt, m("config.nBits").toInt)
-    VecStore.stage(assigned(emb, id, vec, dim, nBits), "bucket", 1 << nBits, root)
+    VecStore.stage(assigned(emb, id, vec, dim, nBits), "bucket", 1 << nBits,
+      root, extra)
   }
 
   /** Finish an append interrupted between stage-commit and publish-commit.
