@@ -58,6 +58,13 @@ object IndexCatalog {
   private[index] def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Manifest read-out for cross-package engine code (the streaming
+    * ingesters' batch markers / family dispatch); the manifest FORMAT
+    * stays index-private.
+    */
+  private[graft] def manifest(spark: SparkSession, root: String): Map[String, String] =
+    readManifest(spark, root)
+
   private[index] def readManifest(spark: SparkSession, root: String): Map[String, String] = {
     val f = fs(spark, root); val mp = new Path(s"$root/manifest.json")
     // one `"key": "value"` pair per line
@@ -610,10 +617,15 @@ object IndexCatalog {
   /** Phase 1 only (STAGE): writes the four staged outputs and records
     * `append.staged` — the published index is untouched until
     * [[publishAppend]]. Exposed for the crash-resume test, which
-    * "crashes" here and recovers via [[resumeAppend]].
+    * "crashes" here and recovers via [[resumeAppend]]. `extra` entries
+    * ride the stage-commit manifest write (the streaming ingester's
+    * `stream.stagedBatch` marker — committed atomically with the stage so
+    * a replayed micro-batch can recognize its own crashed attempt; see
+    * [[graft.streaming.StreamingIndexer.applyBatch]]).
     */
   private[graft] def stageAppend(docs: DataFrame, docIdCol: String,
-      root: String, compactDeltasEvery: Int = 8): Int = {
+      root: String, compactDeltasEvery: Int = 8,
+      extra: Map[String, String] = Map.empty): Int = {
     val spark = docs.sparkSession
     var m = readManifest(spark, root)
     require(m.getOrElse("published", "") == "true", s"no published index at $root")
@@ -682,7 +694,7 @@ object IndexCatalog {
     val deltaPerBucket = spark.read.parquet(s"$stageDir/postings")
       .groupBy("bucket").count().orderBy("bucket").collect()
       .map(r => s"${r.getInt(0)}=${r.getLong(1)}").mkString(";")
-    writeManifest(spark, root, readManifest(spark, root) +
+    writeManifest(spark, root, readManifest(spark, root) ++ extra +
       ("append.staged" -> g.toString) +
       ("append.staged.kind" -> kind) +
       (s"lineage.append.$g" -> deltaPerBucket))
@@ -703,9 +715,13 @@ object IndexCatalog {
 
   /** Idempotent publish of staged append generation `g`: every step checks
     * the filesystem state it is about to change, so re-running after a
-    * crash at any point completes the remainder.
+    * crash at any point completes the remainder. A `stream.stagedBatch`
+    * marker left by [[graft.streaming.StreamingIndexer]] is promoted to
+    * `stream.lastBatch` IN the commit write — publish and batch-applied
+    * are one atomic manifest transition, whichever code path finishes a
+    * crashed append.
     */
-  private def publishAppend(spark: SparkSession, root: String, g: Int): Unit = {
+  private[graft] def publishAppend(spark: SparkSession, root: String, g: Int): Unit = {
     val f = fs(spark, root)
     val stageDir = s"$root/_append_stage_$g"
 
@@ -763,7 +779,11 @@ object IndexCatalog {
     // manifest, and the next buildBlocks folds the delta in O(delta)
     // (foldAppendDeltas) instead of rebuilding from the full posting store
     m = readManifest(spark, root)
-    var commit = m - "append.staged" - "append.staged.kind" +
+    val promoted = m.get("stream.stagedBatch") match {
+      case Some(b) => m - "stream.stagedBatch" + ("stream.lastBatch" -> b)
+      case None => m
+    }
+    var commit = promoted - "append.staged" - "append.staged.kind" +
       ("append.gen" -> g.toString)
     commit =
       if (kind == "delta")

@@ -307,4 +307,47 @@ class IncrementalSpec extends TestBase {
     val got = QueryEngine.query(idx, "abc", BM25()).collect().map(_.getLong(0)).toSet
     assert(got == Set(0L, 1L, 2L, 3L)) // all four match "abc" or its expansions
   }
+
+  test("streamed text batches are exactly-once under foreachBatch replays") {
+    val root = Files.createTempDirectory("graft_streplay_").toString
+    IndexCatalog.build(batch(batchA), "id", Seq("title", "description"), root, nBuckets = 8)
+
+    // batch 0 applied, then replayed (checkpoint lost after publish): a
+    // duplicate would double "abc"'s df and shift every BM25 score
+    val b0 = batch(batchB)
+    StreamingIndexer.applyBatch(b0, "id", root, 0L)
+    assert(IndexCatalog.read(spark, root).docstats.count() == 4)
+    val scores0 = QueryEngine.query(IndexCatalog.read(spark, root), "abc", BM25())
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    StreamingIndexer.applyBatch(b0, "id", root, 0L)
+    assert(IndexCatalog.read(spark, root).docstats.count() == 4,
+      "replayed batch must be a no-op")
+    val scoresReplay = QueryEngine.query(IndexCatalog.read(spark, root), "abc", BM25())
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(scoresReplay == scores0)
+
+    // batch 1 crashes between stage-commit and publish; the replay must
+    // FINISH the staged attempt, not stage a second copy
+    val b1 = batch(Seq((4L, "abc zz", "qqq"), (5L, "rrr", "abc")))
+    IndexCatalog.stageAppend(b1, "id", root,
+      extra = Map("stream.stagedBatch" -> "1"))
+    assert(IndexCatalog.read(spark, root).docstats.count() == 4,
+      "staged-only batch must not touch the live index")
+    StreamingIndexer.applyBatch(b1, "id", root, 1L)
+    assert(IndexCatalog.read(spark, root).docstats.count() == 6)
+    StreamingIndexer.applyBatch(b1, "id", root, 1L)
+    assert(IndexCatalog.read(spark, root).docstats.count() == 6)
+
+    // the streamed index equals a one-shot build over everything
+    val full = IndexBuilder.build(
+      batch(batchA ++ batchB ++ Seq((4L, "abc zz", "qqq"), (5L, "rrr", "abc"))),
+      "id", Seq("title", "description"))
+    for (q <- Seq("abc", "ab", "zz")) {
+      val a = QueryEngine.query(IndexCatalog.read(spark, root), q, BM25())
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = QueryEngine.query(full, q, BM25())
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"query '$q': streamed=$a vs full=$b")
+    }
+  }
 }
