@@ -386,18 +386,21 @@ object SparkEntry {
       |SELECT vec_id, CAST(round((dot / (sqrt(nd) * sqrt(nq))) * 1000000.0) AS BIGINT) AS cos_micro
       |FROM parts ORDER BY cos_micro DESC, vec_id ASC LIMIT 20""".stripMargin
 
-  /** Oracle for q44 (IVF ANN): the identical deterministic centroid sample
-    * (16 smallest md5("ivf:"||vec_id), dense cells in hash order), argmax-
-    * cosine assignment (tiebreak: lowest cell), the query's 4 nearest
-    * cells, exact cosine on the probe set, tie-stable micro-unit top-20.
+  /** Oracle for q44/q45/q46 (IVF ANN): the identical deterministic
+    * centroid sample (16 smallest md5("ivf:"||vec_id) among the rows
+    * matching `centsFilter`, dense cells in hash order), argmax-cosine
+    * assignment over the FULL corpus (tiebreak: lowest cell), the query's
+    * 4 nearest cells, exact cosine on the probe set, tie-stable micro-unit
+    * top-20. ONE builder for all three gates — the sample filter is the
+    * only difference, so an oracle fix can never diverge between them.
     */
-  private val AnnIvfTopKSql: String =
-    """WITH hk AS (SELECT vec_id, embedding,
+  private def ivfOracleSql(centsFilter: String): String =
+    s"""WITH hk AS (SELECT vec_id, embedding,
       |    CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
       |  FROM embeddings),
       |cents AS (SELECT row_number() OVER (ORDER BY hk ASC, vec_id ASC) - 1 AS cell,
       |    embedding AS cv
-      |  FROM hk ORDER BY hk ASC, vec_id ASC LIMIT 16),
+      |  FROM hk $centsFilter ORDER BY hk ASC, vec_id ASC LIMIT 16),
       |cc AS (SELECT e.vec_id, c.cell,
       |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)) AS dot,
       |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS ne,
@@ -429,49 +432,15 @@ object SparkEntry {
       |SELECT vec_id, CAST(round((dot / (sqrt(nd) * sqrt(nq))) * 1000000.0) AS BIGINT) AS cos_micro
       |FROM parts ORDER BY cos_micro DESC, vec_id ASC LIMIT 20""".stripMargin
 
-  /** Oracle for q46 (streamed IVF): as [[AnnIvfTopKSql]] but the centroid
-    * sample is drawn from the BUILD slice only (vec_id < count/2 — the
-    * quantizer is frozen before the stream starts), while assignment and
-    * probing cover the full corpus including every streamed batch.
+  private val AnnIvfTopKSql: String = ivfOracleSql("")
+
+  /** Oracle for q46 (streamed IVF): the centroid sample is drawn from the
+    * BUILD slice only (vec_id < count/2 — the quantizer is frozen before
+    * the stream starts), while assignment and probing cover the full
+    * corpus including every streamed batch.
     */
   private val AnnIvfStreamedSql: String =
-    """WITH hk AS (SELECT vec_id, embedding,
-      |    CAST(('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
-      |  FROM embeddings),
-      |cents AS (SELECT row_number() OVER (ORDER BY hk ASC, vec_id ASC) - 1 AS cell,
-      |    embedding AS cv
-      |  FROM hk WHERE vec_id < (SELECT count(*) // 2 FROM embeddings)
-      |  ORDER BY hk ASC, vec_id ASC LIMIT 16),
-      |cc AS (SELECT e.vec_id, c.cell,
-      |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)) AS dot,
-      |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS ne,
-      |    sum(CAST(c.cv[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)) AS nc
-      |  FROM embeddings e, cents c, generate_series(1, 64) g(i)
-      |  GROUP BY e.vec_id, c.cell),
-      |asg AS (SELECT vec_id, cell FROM (
-      |    SELECT vec_id, cell,
-      |      row_number() OVER (PARTITION BY vec_id
-      |        ORDER BY dot / (sqrt(ne) * sqrt(nc)) DESC, cell ASC) AS rn
-      |    FROM cc) WHERE rn = 1),
-      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-      |qc AS (SELECT c.cell,
-      |    sum(CAST(c.cv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dot,
-      |    sum(CAST(c.cv[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)) AS nc,
-      |    sum(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS nq
-      |  FROM cents c, q, generate_series(1, 64) g(i) GROUP BY c.cell),
-      |probes AS (SELECT cell FROM (
-      |    SELECT cell, row_number() OVER (
-      |      ORDER BY dot / (sqrt(nc) * sqrt(nq)) DESC, cell ASC) AS rn
-      |    FROM qc) WHERE rn <= 4),
-      |cand AS (SELECT a.vec_id FROM asg a JOIN probes p ON a.cell = p.cell),
-      |parts AS (SELECT e.vec_id,
-      |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dot,
-      |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS nd,
-      |    sum(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS nq
-      |  FROM embeddings e JOIN cand c2 ON e.vec_id = c2.vec_id, q, generate_series(1, 64) g(i)
-      |  GROUP BY e.vec_id)
-      |SELECT vec_id, CAST(round((dot / (sqrt(nd) * sqrt(nq))) * 1000000.0) AS BIGINT) AS cos_micro
-      |FROM parts ORDER BY cos_micro DESC, vec_id ASC LIMIT 20""".stripMargin
+    ivfOracleSql("WHERE vec_id < (SELECT count(*) // 2 FROM embeddings)")
 
   // ---------- queries ----------
 

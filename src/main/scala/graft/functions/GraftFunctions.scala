@@ -72,9 +72,17 @@ object GraftFunctions {
       case _ => false
     }), s"centroids must be a foldable array<array<float>>, got $e")
     val outer = e.eval(null).asInstanceOf[ArrayData]
+    require(outer != null, "centroids must not be NULL")
     (0 until outer.numElements()).map { c =>
+      require(!outer.isNullAt(c), s"centroid $c is NULL")
       val inner = outer.getArray(c)
-      (0 until inner.numElements()).map(inner.getFloat)
+      (0 until inner.numElements()).map { i =>
+        // ArrayData.getFloat on a null slot silently reads 0.0f — a
+        // NULL component would build the expression against a wrong
+        // matrix with no error
+        require(!inner.isNullAt(i), s"centroid $c component $i is NULL")
+        inner.getFloat(i)
+      }
     }
   }
 

@@ -268,8 +268,29 @@ object IndexCatalog {
     */
   val DefaultRangesPerGroup: Long = 32L
 
+  /** Exact integer division on long columns. Spark's `/` is DOUBLE
+    * division — a doc_id/block_id above 2^53 would lose low bits in the
+    * double round-trip BEFORE the truncating cast, silently mapping docs
+    * to the wrong block/rg (and the incremental fold would then swap a
+    * partial rewrite over a live partition it never decoded). Minted
+    * 64-bit ids make that range reachable, so every Spark-side id→block
+    * and block→rg mapping goes through IntegralDivide, matching
+    * [[PostingBlocks.fromPostings]]'s exact JVM long division.
+    */
+  private def longDiv(a: org.apache.spark.sql.Column, b: Long) = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      toExpression(a.cast("long")), toExpression(lit(b))))
+  }
+
+  /** rg stays an INT partition value, capping doc_id at
+    * blockSize·rangesPerGroup·2^31 (3.5×10^13 at the defaults, far above
+    * the 10^12 design point; tuned layouts raise it further). Beyond the
+    * cap the ANSI cast fails LOUDLY — never the silent wrong-partition
+    * mapping the pre-review double division had above 2^53.
+    */
   private def rgCol(blockId: org.apache.spark.sql.Column, rpg: Long) =
-    (blockId / lit(rpg)).cast("long").cast("int")
+    longDiv(blockId, rpg).cast("int")
 
   /** Optional compressed-block stage (resumable like the rest): posting
     * blocks with block-max metadata for [[graft.query.BlockMaxTopK]],
@@ -384,6 +405,28 @@ object IndexCatalog {
     }
   }
 
+  /** Fault-injection twin of [[swapBlockPartitions]]: rename exactly ONE
+    * tmp partition into place and stop — the on-disk state a crash in the
+    * middle of the swap loop leaves behind (that pair's tmp copy gone,
+    * the rest still staged, the swap marker still set).
+    */
+  private def swapFirstBlockPartition(f: FileSystem, tmp: String, live: String): Unit = {
+    val tp = new Path(tmp)
+    if (!f.exists(tp)) return
+    for {
+      b <- f.listStatus(tp).toSeq.sortBy(_.getPath.getName)
+        .find(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      r <- f.listStatus(b.getPath).toSeq.sortBy(_.getPath.getName)
+        .find(s => s.isDirectory && s.getPath.getName.startsWith("rg="))
+    } {
+      val dstDir = new Path(s"$live/${b.getPath.getName}")
+      f.mkdirs(dstDir)
+      val dst = new Path(dstDir, r.getPath.getName)
+      f.delete(dst, true)
+      f.rename(r.getPath, dst)
+    }
+  }
+
   /** Incrementally fold pending append generations into the block table:
     * decode ONLY the block rows of the (bucket, rg) partitions the delta
     * postings touch, merge with the delta, re-encode, and swap exactly
@@ -421,7 +464,7 @@ object IndexCatalog {
         // explicit file list
         val delta = spark.read.option("basePath", s"$root/postings")
           .parquet(deltaFiles: _*)
-          .withColumn("block_id", (col("doc_id") / lit(bs)).cast("long"))
+          .withColumn("block_id", longDiv(col("doc_id"), bs))
           .withColumn("rg", rgCol(col("block_id"), rpg))
         val pairs = delta.select(col("bucket"), col("rg")).distinct()
           .collect().map(r => (r.getInt(0), r.getInt(1)))
@@ -508,26 +551,31 @@ object IndexCatalog {
     * re-decoding an already-compacted partition and anti-joining the same
     * tombstones is a fixpoint.
     */
-  private def compactBlocks(spark: SparkSession, root: String): Unit = {
+  /** Returns false ONLY under `crashMidSwap` fault injection (the caller
+    * then aborts the vacuum as a simulated crash after one partition
+    * rename with the swap marker still set).
+    */
+  private def compactBlocks(spark: SparkSession, root: String,
+      crashMidSwap: Boolean = false): Boolean = {
     val f = fs(spark, root)
     val tmp = s"$root/$BlockFoldTmp"
     var m = readManifest(spark, root)
     if (!f.exists(new Path(s"$root/tombstones")) && !m.contains("blocks.swap"))
-      return
+      return true
     if (!m.contains("blocks.swap")) {
       val nf = m("config.numFields").toInt
       val nb = m("config.nBuckets").toInt
       val bs = m("config.blockSize").toLong
       val rpg = m("config.rangesPerGroup").toLong
       val tombs = spark.read.parquet(s"$root/tombstones").select(col("doc_id"))
-      val rgs = tombs.select(rgCol((col("doc_id") / lit(bs)).cast("long"), rpg)
+      val rgs = tombs.select(rgCol(longDiv(col("doc_id"), bs), rpg)
         .as("rg")).distinct().collect().map(_.getInt(0)).toSeq
-      if (rgs.isEmpty) return
+      if (rgs.isEmpty) return true
       val old = spark.read.parquet(s"$root/blocks")
         .filter(col("rg").isin(rgs: _*)).cache()
       val oldPairs = old.select(col("bucket"), col("rg")).distinct().collect()
         .map(r => s"bucket=${r.getInt(0)}/rg=${r.getInt(1)}")
-      if (oldPairs.isEmpty) { old.unpersist(); return }
+      if (oldPairs.isEmpty) { old.unpersist(); return true }
       val oldCnt = old.count()
       val live = PostingBlocks.toPostings(old, nf, bs)
         .join(tombs, Seq("doc_id"), "left_anti")
@@ -543,23 +591,42 @@ object IndexCatalog {
       val newCnt = obs.get("rows").asInstanceOf[Long]
       old.unpersist()
       val total = m("stage.blocks.rows").toLong - oldCnt + newCnt
+      // the explicit drop list covers ONLY partitions whose blocks all
+      // emptied (no tmp counterpart exists to replace them). It must NOT
+      // include rewritten pairs: the swap below renames each tmp dir away
+      // as it lands, so a crash mid-swap + resume would re-delete an
+      // already-swapped live dir with its tmp copy gone — permanent block
+      // loss (the pre-round-5-review code did exactly that; pinned by
+      // LifecycleProps' mid-swap crash fuzz)
+      val freshPairs = (for {
+        b <- f.listStatus(new Path(tmp)).toSeq
+        if b.isDirectory && b.getPath.getName.startsWith("bucket=")
+        r <- f.listStatus(b.getPath).toSeq
+        if r.isDirectory && r.getPath.getName.startsWith("rg=")
+      } yield s"${b.getPath.getName}/${r.getPath.getName}").toSet
       m = readManifest(spark, root) + ("blocks.swap" -> "vacuum") +
         ("blocks.swap.rows" -> total.toString) +
-        // the explicit drop list covers partitions whose blocks all
-        // emptied (no tmp counterpart would exist to replace them)
-        ("blocks.swap.drop" -> oldPairs.mkString(";"))
+        ("blocks.swap.drop" -> oldPairs.filterNot(freshPairs).mkString(";"))
       writeManifest(spark, root, m)
     }
     m = readManifest(spark, root)
+    if (crashMidSwap) { // fault injection: die after ONE partition rename
+      swapFirstBlockPartition(f, tmp, s"$root/blocks")
+      return false
+    }
+    // SWAP first (each rename replaces the stale live dir), THEN the
+    // emptied-pair drops, THEN the commit: every step re-runs cleanly from
+    // any crash point — a swapped pair's tmp absence makes the swap a
+    // no-op, a dropped pair never has fresh data, and the commit is last
+    swapBlockPartitions(f, tmp, s"$root/blocks")
     m.getOrElse("blocks.swap.drop", "").split(";").filter(_.nonEmpty)
       .foreach(rel => f.delete(new Path(s"$root/blocks/$rel"), true))
-    swapBlockPartitions(f, tmp, s"$root/blocks")
     writeManifest(spark, root,
       readManifest(spark, root) - "blocks.swap" - "blocks.swap.drop" -
         "blocks.swap.rows" +
         ("stage.blocks.rows" -> m("blocks.swap.rows")))
     f.delete(new Path(tmp), true)
-    ()
+    true
   }
 
   /** Incremental append — the reference's headline mutation
@@ -861,7 +928,7 @@ object IndexCatalog {
     * `table.*` still on the pre-vacuum generation dirs).
     */
   private[graft] def vacuum(spark: SparkSession, root: String,
-      crashBeforeCommit: Boolean): Unit = {
+      crashBeforeCommit: Boolean, crashMidBlockSwap: Boolean = false): Unit = {
     val f = fs(spark, root)
     // a staged-but-unpublished append must land BEFORE the compaction:
     // its staged termdict/fieldstats were merged against the pre-vacuum
@@ -942,7 +1009,9 @@ object IndexCatalog {
     // partitions with tombstoned ids, BEFORE the commit deletes the
     // tombstone set it anti-joins. Idempotent under crash-resume.
     if (blocksIncremental) {
-      compactBlocks(spark, root)
+      // false ONLY under crashMidBlockSwap fault injection: abort the
+      // whole vacuum as a simulated crash one rename into the swap loop
+      if (!compactBlocks(spark, root, crashMidBlockSwap)) return
       m = readManifest(spark, root) // picks up the updated stage.blocks.rows
     }
     // vacuum rewrote the whole posting store: refresh the global lineage

@@ -144,9 +144,7 @@ object IvfIndex {
       nProbe: Int): Seq[Int] = {
     val cents = centroids(spark, root)
     require(nProbe > 0 && nProbe <= cents.length, "0 < nProbe <= nCells")
-    cents.map { case (cid, cv) => (cid, Similarity.cosineLocal(cv, query)) }
-      .sortBy { case (cid, c) => (-c, cid) }
-      .take(nProbe).map(_._1).toSeq
+    Similarity.rankCells(cents, query).take(nProbe)
   }
 
   /** All stored vectors in the query's probe cells with exact cosine vs

@@ -272,8 +272,12 @@ object Dedup {
     // executor lifetime — a cluster wanting executor-loss tolerance sets
     // spark.checkpoint.dir and swaps in reliable checkpoint() every few
     // iterations; the loop structure is unchanged.
-    var labels = edges.select(col("src").as("id")).distinct()
+    // `ckpt` tracks the ITERATION'S OWN checkpoint frame (whose analyzed
+    // plan is the LogicalRDD holding the blocks) — `labels` is a
+    // projection over it, so releasing must target ckpt, not labels
+    var ckpt = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
+    var labels = ckpt
     var it = 0
     var changed = 1L
     while (changed > 0) {
@@ -297,14 +301,22 @@ object Dedup {
             .as("component"))
         .localCheckpoint()
       changed = step.filter(col("component") =!= col("_old")).count()
-      labels.unpersist(false)
+      // release the PREVIOUS iteration's checkpoint blocks for real:
+      // Dataset.unpersist is a no-op on a localCheckpoint'd frame (its
+      // storage is the wrapped RDD's persist layer, not a CacheManager
+      // entry) — without this the loop pins one full label-set copy per
+      // iteration until driver GC. Safe here: `step` is already
+      // materialized (eager checkpoint + the count above), so nothing
+      // reads the old labels again.
+      org.apache.spark.sql.graftbridge.uncheckpoint(ckpt)
+      ckpt = step
       labels = step.select(col("id"), col("component"))
       it += 1
     }
     // hand the result to the caller's cache scope (persist is a cheap
     // layer over the checkpoint blocks); the intermediate checkpoints
-    // are unpersisted above and the last one is released when the
-    // returned frame is
+    // are released above and the last one when its RDD is GC'd after the
+    // returned frame drops out of scope
     (scope.cut(labels), it)
   }
 

@@ -180,6 +180,26 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Cells ranked the way the distributed assignment ranks them: cosine
+    * DESC with NaN GREATEST (the [[graft.functions.NearestCentroid]] /
+    * struct-max rule — Scala's default Double ordering sorts NaN LAST,
+    * which would rank a zero-norm centroid's cell worst while assignment
+    * sends every NaN-cosine vector INTO it), tiebreak lowest cell. The
+    * query's length must match the centroid dim — [[cosineLocal]] indexes
+    * by the centroid's length, so a short query would throw from the
+    * middle of the loop and a long one would silently truncate.
+    */
+  private[graft] def rankCells(cents: Array[(Int, Array[Float])],
+      query: Seq[Float]): Seq[Int] = {
+    val dim = cents.head._2.length
+    require(query.length == dim,
+      s"query dim ${query.length} != centroid dim $dim")
+    cents.map { case (cid, cv) => (cid, cosineLocal(cv, query)) }
+      .sortBy { case (cid, c) =>
+        (if (java.lang.Double.isNaN(c)) 0 else 1, -c, cid) }
+      .map(_._1).toSeq
+  }
+
   /** IVF candidates: vectors whose nearest centroid is one of the query's
     * `nProbe` highest-cosine cells, with exact cosine vs the query. The
     * whole plan is one narrow corpus scan — assignment ([[ivfCellCol]]) and
@@ -200,10 +220,7 @@ object Similarity {
       nCells: Int, nProbe: Int, query: Seq[Float]): DataFrame = {
     require(nProbe > 0 && nProbe <= nCells, "0 < nProbe <= nCells")
     val cents = ivfCentroids(emb, id, vec, nCells)
-    val probes = cents
-      .map { case (cid, cv) => (cid, cosineLocal(cv, query)) }
-      .sortBy { case (cid, c) => (-c, cid) }
-      .take(nProbe).map(_._1).toSeq
+    val probes = rankCells(cents, query).take(nProbe)
     val q = array(query.map(v => lit(v)): _*)
     emb.select(col(id).cast("long").as("vec_id"), col(vec).as("v"),
         ivfCellCol(col(vec), cents).as("cell"))

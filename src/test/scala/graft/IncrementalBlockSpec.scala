@@ -133,6 +133,79 @@ class IncrementalBlockSpec extends TestBase {
       idx.postings.select("term", "doc_id", "tf", "fl", "occ")).count() == 0)
   }
 
+  test("vacuum crash ONE RENAME INTO the block swap resumes without losing partitions") {
+    // the round-5 review finding: the drop list used to cover ALL
+    // rewritten pairs, so a crash mid-swap + resume deleted the
+    // already-swapped live dir (its tmp copy gone with the rename) —
+    // permanent, silent block loss. The drop list now covers only
+    // EMPTIED pairs and the swap runs before the drops.
+    val root = Files.createTempDirectory("graft_iblk5_").toString
+    IndexCatalog.build(corpus(0L until 200L), "id", Seq("body"), root, nBuckets = 4)
+    IndexCatalog.buildBlocks(spark, root, blockSize = 16, rangesPerGroup = 4)
+    // tombstone ids spanning MANY (bucket, rg) pairs so the mid-swap crash
+    // leaves both swapped and unswapped rewrites behind
+    IndexCatalog.removeDocuments(spark, root, (10L until 20L) ++ (70L until 80L))
+    IndexCatalog.vacuum(spark, root, crashBeforeCommit = false,
+      crashMidBlockSwap = true)
+    // crashed: marker still set, vacuum still pending
+    val mf = java.nio.file.Files.readString(Paths.get(s"$root/manifest.json"))
+    assert(mf.contains("\"blocks.swap\"") && mf.contains("\"vacuum.pending\""))
+
+    IndexCatalog.vacuum(spark, root) // resume completes swap + drops + commit
+    val idx = IndexCatalog.read(spark, root)
+    val back = decodeAll(root)
+    assert(back.filter(col("doc_id").between(10L, 19L) ||
+      col("doc_id").between(70L, 79L)).count() == 0)
+    // the decoded table equals the live postings — NOTHING lost
+    assert(back.count() == idx.postings.count())
+    assert(back.exceptAll(
+      idx.postings.select("term", "doc_id", "tf", "fl", "occ")).count() == 0)
+    // and the manifest row count is the real one
+    val m2 = java.nio.file.Files.readString(Paths.get(s"$root/manifest.json"))
+    val recorded = "\"stage\\.blocks\\.rows\": \"(\\d+)\"".r
+      .findFirstMatchIn(m2).get.group(1).toLong
+    val (blocks, _, _) = IndexCatalog.readBlocks(spark, root)
+    assert(blocks.count() == recorded)
+  }
+
+  test("block/rg mapping is exact above 2^53 (integer division, not double)") {
+    // doc_id = 2^54 - 1 rounds UP to 2^54 as a double, so double division
+    // put it one block too high while exact division gives the block
+    // below — the fold would then swap a rewrite over an rg it never
+    // decoded. Reachable only under a TUNED block layout (the int rg cap
+    // doc_id < blockSize·rpg·2^31 sits below 2^53 at the defaults and
+    // fails loudly via the ANSI cast): blockSize 2^20 × rpg 16 puts the
+    // rg cap at 2^55 with the silent-corruption zone inside it. All
+    // Spark-side id→block/rg mappings now use IntegralDivide.
+    // big..big+2 land first and populate the TRUE (bucket, rg) pairs;
+    // big+3 = 2^54 - 1 (rounds UP as a double) then folds in separately —
+    // under double division its delta maps to the rg ABOVE, so the fold
+    // would decode nothing, re-encode from the delta alone, and swap that
+    // partial rewrite OVER the live partitions holding big..big+2
+    val big = (1L << 54) - 4L
+    val root = Files.createTempDirectory("graft_iblk6_").toString
+    IndexCatalog.build(corpus(0L until 40L), "id", Seq("body"), root, nBuckets = 4)
+    IndexCatalog.buildBlocks(spark, root, blockSize = 1L << 20, rangesPerGroup = 16)
+    IndexCatalog.addDocuments(corpus(Seq(big, big + 1, big + 2)), "id", root)
+    IndexCatalog.buildBlocks(spark, root) // fold 1: populates the huge-id rg
+    IndexCatalog.addDocuments(corpus(Seq(big + 3)), "id", root)
+    IndexCatalog.buildBlocks(spark, root) // fold 2: must MERGE, not replace
+
+    val idx = IndexCatalog.read(spark, root)
+    val back = decodeAll(root)
+    assert(back.filter(col("doc_id") >= big).count() ==
+      idx.postings.filter(col("doc_id") >= big).count())
+    assert(back.exceptAll(
+      idx.postings.select("term", "doc_id", "tf", "fl", "occ")).count() == 0)
+    // vacuum one huge id through the incremental compaction path too
+    IndexCatalog.removeDocuments(spark, root, Seq(big + 1))
+    IndexCatalog.vacuum(spark, root)
+    val back2 = decodeAll(root)
+    assert(back2.filter(col("doc_id") === (big + 1)).count() == 0)
+    assert(back2.exceptAll(IndexCatalog.read(spark, root).postings
+      .select("term", "doc_id", "tf", "fl", "occ")).count() == 0)
+  }
+
   test("fold crash protocol: pending marker survives and a re-run completes") {
     val root = Files.createTempDirectory("graft_iblk4_").toString
     IndexCatalog.build(corpus(0L until 100L), "id", Seq("body"), root, nBuckets = 4)

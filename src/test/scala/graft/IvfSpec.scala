@@ -102,6 +102,33 @@ class IvfSpec extends TestBase {
     assert(viaSql.exceptAll(viaCol).count() == 0)
   }
 
+  test("a zero-norm centroid ranks GREATEST in probe order (assignment parity)") {
+    import spark.implicits._
+    // cell 1 is a zero vector: every corpus vector's cosine vs it is NaN,
+    // and NearestCentroid's NaN-greatest rule assigns EVERYTHING to it.
+    // Probe ranking must agree — Scala's default Double ordering sorts NaN
+    // LAST, which would rank the one cell holding the whole corpus WORST
+    // and make every nProbe < nCells search come back empty.
+    val cents = Array(
+      (0, Array.fill(4)(1.0f)),
+      (1, Array.fill(4)(0.0f)),
+      (2, Array.tabulate(4)(i => (i + 1).toFloat)))
+    val ranked = Similarity.rankCells(cents, Seq(1f, 1f, 1f, 1f))
+    assert(ranked.head == 1, s"NaN cell must rank first: $ranked")
+    val asg = Seq(
+      (0L, Seq(1f, 2f, 3f, 4f)), (1L, Seq(-1f, 0f, 2f, 1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.ivfCellCol(col("embedding").cast("array<float>"), cents).as("cell"))
+    assert(asg.filter(col("cell") =!= 1).count() == 0,
+      "assignment must send every vector to the NaN cell")
+    // and a query of the wrong dimensionality fails loudly, not with an
+    // AIOOBE from the middle of the cosine loop / silent truncation
+    intercept[IllegalArgumentException] {
+      Similarity.rankCells(cents, Seq(1f, 1f))
+    }
+  }
+
   test("assignment survives codegen at 512 cells (reference-object matrix)") {
     // the composed argmax's generated code is O(nCells·dim): at 512 cells
     // janino rejects the method and Spark silently falls back to the

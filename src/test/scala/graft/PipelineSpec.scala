@@ -22,6 +22,42 @@ class PipelineSpec extends TestBase {
     ).toDF("doc_id", "text")
   }
 
+  test("components loop releases each iteration's checkpoint storage") {
+    import spark.implicits._
+    import graft.pipeline.CacheScope
+    // Dataset.unpersist is a NO-OP on localCheckpoint'd frames (their
+    // blocks live on the wrapped RDD, not in the CacheManager); the loop
+    // releases each iteration's blocks explicitly via
+    // graftbridge.uncheckpoint, making PEAK storage deterministic (≤ 3
+    // frames live at any instant) instead of GC-whenever (ContextCleaner
+    // reclaims dropped RDDs only after the driver happens to collect
+    // them — unbounded peak on big iterative workloads).
+    // 1) the helper itself: releases exactly the checkpoint's blocks
+    val df = (0L until 100L).map(i => (i, i % 7)).toDF("a", "b")
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val c1 = df.localCheckpoint()
+    val c2 = c1.select(col("a")).localCheckpoint()
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 2)
+    org.apache.spark.sql.graftbridge.uncheckpoint(c1)
+    org.apache.spark.sql.graftbridge.uncheckpoint(c2)
+    assert(spark.sparkContext.getPersistentRDDs.size == base)
+    // non-checkpoint frames are a safe no-op
+    org.apache.spark.sql.graftbridge.uncheckpoint(df)
+    // 2) the loop: at completion at most {edges, final ckpt, scope
+    //    persist} remain, regardless of iteration count
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    CacheScope.withScope { s =>
+      val (labels, iters) =
+        graft.pipeline.Dedup.componentsDistributed(edges, scope = s)
+      assert(labels.filter(col("component") =!= 0L).count() == 0)
+      assert(iters >= 3, s"chain should take several iterations, got $iters")
+      val during = spark.sparkContext.getPersistentRDDs.size
+      assert(during - before <= 3,
+        s"checkpoint storage leaked: before=$before during=$during iters=$iters")
+    }
+  }
+
   test("components: transitive closure over pair chains, min-id labels") {
     import spark.implicits._
     // a 5-node PATH (forces multi-hop propagation — no pair links 10 to
