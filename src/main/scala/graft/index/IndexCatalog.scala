@@ -104,6 +104,24 @@ object IndexCatalog {
     ()
   }
 
+  /** Promote a streaming ingester's staged batch marker into its committed
+    * form, as part of a publish's single manifest write. Lineage-bound
+    * markers (`<queryId>:<batchId>`, [[graft.streaming.StreamLineage]])
+    * land under a PER-LINEAGE key so one retired stream's late replay can
+    * never be confused with another stream's progress; bare legacy markers
+    * keep the shared key and its match-any-lineage semantics.
+    */
+  private[graft] def promoteStreamMarker(m: Map[String, String]): Map[String, String] =
+    m.get("stream.stagedBatch") match {
+      case Some(v) =>
+        val base = m - "stream.stagedBatch"
+        v.split(":", 2) match {
+          case Array(id, b) => base + (s"stream.lastBatch.$id" -> b)
+          case _ => base + ("stream.lastBatch" -> v)
+        }
+      case None => m
+    }
+
   /** Run one stage if not already recorded: produce `df`, write it to a tmp
     * dir, atomically rename into place, record rows + duration + lineage.
     *
@@ -385,45 +403,31 @@ object IndexCatalog {
   /** Move every `bucket=X/rg=Y` dir under `tmp` into `live`, replacing the
     * existing dir. Idempotent: a partition already swapped is gone from
     * tmp; a crash between delete and rename leaves the tmp copy, which the
-    * resume moves.
+    * resume moves. `maxRenames` exists ONLY for fault injection (rename
+    * that many partitions and stop — the exact on-disk state a crash in
+    * the middle of the loop leaves behind); production callers use the
+    * unbounded default, so the fuzzed protocol IS the production protocol.
+    * Partitions are visited in sorted order so the fault-injected prefix
+    * is deterministic.
     */
-  private def swapBlockPartitions(f: FileSystem, tmp: String, live: String): Unit = {
+  private def swapBlockPartitions(f: FileSystem, tmp: String, live: String,
+      maxRenames: Long = Long.MaxValue): Unit = {
     val tp = new Path(tmp)
     if (!f.exists(tp)) return
-    f.listStatus(tp).foreach { b =>
+    var renamed = 0L
+    f.listStatus(tp).sortBy(_.getPath.getName).foreach { b =>
       if (b.isDirectory && b.getPath.getName.startsWith("bucket="))
-        f.listStatus(b.getPath).foreach { r =>
-          if (r.isDirectory && r.getPath.getName.startsWith("rg=")) {
+        f.listStatus(b.getPath).sortBy(_.getPath.getName).foreach { r =>
+          if (renamed < maxRenames &&
+              r.isDirectory && r.getPath.getName.startsWith("rg=")) {
             val dstDir = new Path(s"$live/${b.getPath.getName}")
             f.mkdirs(dstDir)
             val dst = new Path(dstDir, r.getPath.getName)
             f.delete(dst, true)
             f.rename(r.getPath, dst)
-            ()
+            renamed += 1
           }
         }
-    }
-  }
-
-  /** Fault-injection twin of [[swapBlockPartitions]]: rename exactly ONE
-    * tmp partition into place and stop — the on-disk state a crash in the
-    * middle of the swap loop leaves behind (that pair's tmp copy gone,
-    * the rest still staged, the swap marker still set).
-    */
-  private def swapFirstBlockPartition(f: FileSystem, tmp: String, live: String): Unit = {
-    val tp = new Path(tmp)
-    if (!f.exists(tp)) return
-    for {
-      b <- f.listStatus(tp).toSeq.sortBy(_.getPath.getName)
-        .find(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      r <- f.listStatus(b.getPath).toSeq.sortBy(_.getPath.getName)
-        .find(s => s.isDirectory && s.getPath.getName.startsWith("rg="))
-    } {
-      val dstDir = new Path(s"$live/${b.getPath.getName}")
-      f.mkdirs(dstDir)
-      val dst = new Path(dstDir, r.getPath.getName)
-      f.delete(dst, true)
-      f.rename(r.getPath, dst)
     }
   }
 
@@ -501,13 +505,21 @@ object IndexCatalog {
         writeManifest(spark, root, m)
       }
       // swap phase + final commit: trim exactly the folded generations
-      // (another append may have queued more while a crashed swap waited)
+      // (another append may have queued more while a crashed swap waited).
+      // This loop may also be finishing a VACUUM's crashed block swap
+      // (blocks.swap = "vacuum", reachable when a serving job calls
+      // buildBlocks before anyone re-runs vacuum): that swap carries a
+      // `blocks.swap.drop` list of partitions whose blocks all emptied —
+      // apply it here too, or the retired dirs would survive with a stale
+      // row count (masked only while the tombstones still exist).
       swapBlockPartitions(f, tmp, s"$root/blocks")
       m = readManifest(spark, root)
+      m.getOrElse("blocks.swap.drop", "").split(";").filter(_.nonEmpty)
+        .foreach(rel => f.delete(new Path(s"$root/blocks/$rel"), true))
       val folded = m("blocks.swap").split(",").toSet
       val remaining = m.getOrElse("blocks.pending", "").split(",")
         .filter(g => g.nonEmpty && !folded.contains(g))
-      val base = m - "blocks.swap" - "blocks.swap.rows" +
+      val base = m - "blocks.swap" - "blocks.swap.rows" - "blocks.swap.drop" +
         ("stage.blocks.rows" ->
           m.getOrElse("blocks.swap.rows", m("stage.blocks.rows")))
       writeManifest(spark, root,
@@ -533,7 +545,8 @@ object IndexCatalog {
     // results; buildBlocks folds them in O(delta)
     require(m.getOrElse("blocks.pending", "").isEmpty && !m.contains("blocks.swap"),
       s"block table at $root has unfolded append deltas " +
-        s"(${m.getOrElse("blocks.pending", "swap in progress")}) — re-run buildBlocks")
+        s"(${m.get("blocks.pending").filter(_.nonEmpty)
+          .getOrElse("swap in progress")}) — re-run buildBlocks")
     val bs = m.getOrElse("config.blockSize", PostingBlocks.DefaultBlockSize.toString).toLong
     val rpg = m.getOrElse("config.rangesPerGroup", DefaultRangesPerGroup.toString).toLong
     // KEEP the bucket/rg partition columns (the Block encoder tolerates
@@ -611,7 +624,7 @@ object IndexCatalog {
     }
     m = readManifest(spark, root)
     if (crashMidSwap) { // fault injection: die after ONE partition rename
-      swapFirstBlockPartition(f, tmp, s"$root/blocks")
+      swapBlockPartitions(f, tmp, s"$root/blocks", maxRenames = 1)
       return false
     }
     // SWAP first (each rename replaces the stale live dir), THEN the
@@ -846,10 +859,7 @@ object IndexCatalog {
     // manifest, and the next buildBlocks folds the delta in O(delta)
     // (foldAppendDeltas) instead of rebuilding from the full posting store
     m = readManifest(spark, root)
-    val promoted = m.get("stream.stagedBatch") match {
-      case Some(b) => m - "stream.stagedBatch" + ("stream.lastBatch" -> b)
-      case None => m
-    }
+    val promoted = promoteStreamMarker(m)
     var commit = promoted - "append.staged" - "append.staged.kind" +
       ("append.gen" -> g.toString)
     commit =
@@ -951,10 +961,17 @@ object IndexCatalog {
     // instead of being silently dropped with its postings intact (the
     // check-then-act race the API-level vacuum.pending guard cannot close
     // for out-of-band writers)
-    val tombSnapshot =
-      if (!pending && f.exists(tombDir))
-        f.listStatus(tombDir).filter(_.isFile).map(_.getPath.getName).mkString(";")
-      else mPre.getOrElse("vacuum.tombfiles", "")
+    // None ⇔ resuming a LEGACY pending vacuum (crashed under an engine
+    // version that never wrote the snapshot key) — the retire step then
+    // keeps the old whole-dir delete. Writing "" instead would make that
+    // fallback unreachable: zero files retired, dir kept, tombstones mask
+    // already-purged docs forever.
+    val tombSnapshot: Option[String] =
+      if (!pending)
+        Some(if (f.exists(tombDir))
+          f.listStatus(tombDir).filter(_.isFile).map(_.getPath.getName).mkString(";")
+        else "")
+      else mPre.get("vacuum.tombfiles")
     val idx = read(spark, root)
     var m = mPre
     // Block-table strategy: a CURRENT-format table with no unfolded append
@@ -979,7 +996,8 @@ object IndexCatalog {
         (k.startsWith("stage.") && !(blocksIncremental && k.startsWith("stage.blocks"))) ||
           k.startsWith("lineage."))
     if (!blocksIncremental) m = m -- BlockStateKeys
-    m = m + ("vacuum.pending" -> "true") + ("vacuum.tombfiles" -> tombSnapshot)
+    m = m + ("vacuum.pending" -> "true") ++
+      tombSnapshot.map("vacuum.tombfiles" -> _)
     writeManifest(spark, root, m)
     if (!blocksIncremental) {
       // the block table (if built) still holds purged postings and cannot
@@ -1037,14 +1055,16 @@ object IndexCatalog {
     // mask is then a no-op — or didn't, and the mask still hides them;
     // correct either way). A legacy pending manifest without the snapshot
     // key keeps the old whole-dir delete.
-    if (m.contains("vacuum.tombfiles")) {
-      m("vacuum.tombfiles").split(";").filter(_.nonEmpty)
-        .foreach(n => f.delete(new Path(s"$root/tombstones/$n"), false))
-      val dataLeft = f.exists(tombDir) && f.listStatus(tombDir)
-        .exists(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-      if (!dataLeft) f.delete(tombDir, true)
-    } else f.delete(tombDir, true)
+    m.get("vacuum.tombfiles") match {
+      case Some(snap) =>
+        snap.split(";").filter(_.nonEmpty)
+          .foreach(n => f.delete(new Path(s"$root/tombstones/$n"), false))
+        val dataLeft = f.exists(tombDir) && f.listStatus(tombDir)
+          .exists(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+        if (!dataLeft) f.delete(tombDir, true)
+      case None => f.delete(tombDir, true) // legacy pending manifest
+    }
     // GC the superseded generation/delta dirs (post-commit; also re-swept
     // by the next append's publish if this crashes)
     f.listStatus(new Path(root)).foreach { st =>

@@ -45,24 +45,37 @@ object IvfIndex {
     * store's manifest commit, so `published=true` always implies a
     * complete centroid table (a crash in between leaves orphan dirs the
     * next build overwrites).
+    *
+    * `refineIters` > 0 sharpens the sampled quantizer with that many
+    * Lloyd rounds ([[Similarity.kmeansRefine]], cosine geometry) before
+    * anything is written — same layout, same probe semantics, measurably
+    * better recall per probed cell on clustered embedding spaces
+    * (BENCH.md "IVF refinement"). The default stays 0 because refinement
+    * is deterministic only up to floating-point reduction order, and the
+    * oracle-gated contract queries need bit-stable centroids.
     */
   def build(emb: DataFrame, id: String, vec: String, dim: Int, nCells: Int,
-      root: String): Unit = {
+      root: String, refineIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     val m = IndexCatalog.readManifest(spark, root)
     if (m.getOrElse("published", "") == "true") {
       require(m.get("config.dim").contains(dim.toString) &&
-        m.get("config.nCells").contains(nCells.toString),
+        m.get("config.nCells").contains(nCells.toString) &&
+        m.getOrElse("config.refineIters", "0") == refineIters.toString,
         s"IVF index at $root published with different config " +
-          s"(dim=${m.get("config.dim")}, nCells=${m.get("config.nCells")})")
+          s"(dim=${m.get("config.dim")}, nCells=${m.get("config.nCells")}, " +
+          s"refineIters=${m.getOrElse("config.refineIters", "0")})")
       return
     }
-    val cents = Similarity.ivfCentroids(emb, id, vec, nCells)
+    val cents = Similarity.kmeansRefine(emb, vec,
+      Similarity.ivfCentroids(emb, id, vec, nCells), refineIters)
     writeCentroids(spark, root, cents)
     VecStore.writeInitial(assigned(emb, id, vec, cents), "cell", nCells,
       root, Map(
         "config.dim" -> dim.toString,
-        "config.nCells" -> nCells.toString))
+        "config.nCells" -> nCells.toString,
+        "config.refineIters" -> refineIters.toString),
+      expectDim = Some(dim))
   }
 
   private def writeCentroids(spark: SparkSession, root: String,
@@ -120,7 +133,8 @@ object IvfIndex {
     require(m.getOrElse("published", "") == "true", s"no published IVF index at $root")
     val cents = centroids(spark, root)
     VecStore.stage(assigned(emb, id, vec, cents), "cell",
-      m("config.nCells").toInt, root, extra)
+      m("config.nCells").toInt, root, extra,
+      expectDim = Some(m("config.dim").toInt))
   }
 
   /** Finish an append interrupted between stage-commit and publish-commit.
@@ -133,40 +147,72 @@ object IvfIndex {
   def read(spark: SparkSession, root: String): DataFrame =
     VecStore.read(spark, root)
 
-  /** The query's probe cells: the `nProbe` stored centroids with the
-    * highest cosine vs the query (tiebreak: lowest cell) — pure driver
-    * arithmetic over the nCells-capped centroid table, ranked with the
-    * SAME index-order double accumulation as the distributed assignment
-    * column. Probe sets are NESTED in `nProbe`, so recall is monotone in
-    * the knob by construction.
+  /** A query handle with the centroid table and vector scan resolved ONCE:
+    * the repeated-query serving shape this index exists for must not pay a
+    * centroid-parquet Spark job plus two manifest round-trips per top-k
+    * call (the per-call static methods below do exactly that — fine for a
+    * one-shot, wrong in a query loop). Centroids are frozen at build time,
+    * so the cached array can never go stale; appends only ADD vectors, and
+    * a reader that must see them reopens (same contract as re-reading any
+    * snapshot table).
+    */
+  final class Reader private[IvfIndex] (
+      val centroids: Array[(Int, Array[Float])], vectors: DataFrame) {
+
+    /** The query's probe cells: the `nProbe` stored centroids with the
+      * highest cosine vs the query (tiebreak: lowest cell) — pure driver
+      * arithmetic over the nCells-capped cached centroid array, ranked
+      * with the SAME index-order double accumulation as the distributed
+      * assignment column. Probe sets are NESTED in `nProbe`, so recall is
+      * monotone in the knob by construction.
+      */
+    def probeSet(query: Seq[Float], nProbe: Int): Seq[Int] = {
+      require(nProbe > 0 && nProbe <= centroids.length, "0 < nProbe <= nCells")
+      Similarity.rankCells(centroids, query).take(nProbe)
+    }
+
+    /** All stored vectors in the query's probe cells with exact cosine vs
+      * the query — a partition-pruned scan (`cell IN probes` is a hive
+      * partition predicate, so only probe-cell files are read; asserted by
+      * IvfIndexSpec).
+      */
+    def probeCandidates(query: Seq[Float], nProbe: Int): DataFrame = {
+      val probes = probeSet(query, nProbe)
+      val q = array(query.map(v => lit(v)): _*)
+      vectors
+        .filter(col("cell").isin(probes: _*))
+        .select(col("vec_id"), Similarity.cosine(col("v"), q).as("cos"))
+    }
+
+    /** Approximate cosine top-k over the persisted IVF index. `nProbe`
+      * trades cells scanned for recall; `nProbe = nCells` is exact.
+      */
+    def annTopK(query: Seq[Float], k: Int, nProbe: Int): DataFrame =
+      probeCandidates(query, nProbe)
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(k)
+  }
+
+  /** Open a query handle: one manifest read + one small centroid-table
+    * job, amortized over every query made through it.
+    */
+  def open(spark: SparkSession, root: String): Reader =
+    new Reader(centroids(spark, root), read(spark, root))
+
+  /** One-shot convenience (pays the open() cost per call — use a
+    * [[Reader]] in a query loop).
     */
   def probeSet(spark: SparkSession, root: String, query: Seq[Float],
-      nProbe: Int): Seq[Int] = {
-    val cents = centroids(spark, root)
-    require(nProbe > 0 && nProbe <= cents.length, "0 < nProbe <= nCells")
-    Similarity.rankCells(cents, query).take(nProbe)
-  }
+      nProbe: Int): Seq[Int] =
+    open(spark, root).probeSet(query, nProbe)
 
-  /** All stored vectors in the query's probe cells with exact cosine vs
-    * the query — a partition-pruned scan (`cell IN probes` is a hive
-    * partition predicate, so only probe-cell files are read; asserted by
-    * IvfIndexSpec).
-    */
+  /** One-shot convenience — see [[Reader.probeCandidates]]. */
   def probeCandidates(spark: SparkSession, root: String,
-      query: Seq[Float], nProbe: Int): DataFrame = {
-    val probes = probeSet(spark, root, query, nProbe)
-    val q = array(query.map(v => lit(v)): _*)
-    read(spark, root)
-      .filter(col("cell").isin(probes: _*))
-      .select(col("vec_id"), Similarity.cosine(col("v"), q).as("cos"))
-  }
+      query: Seq[Float], nProbe: Int): DataFrame =
+    open(spark, root).probeCandidates(query, nProbe)
 
-  /** Approximate cosine top-k over the persisted IVF index. `nProbe`
-    * trades cells scanned for recall; `nProbe = nCells` is exact.
-    */
+  /** One-shot convenience — see [[Reader.annTopK]]. */
   def annTopK(spark: SparkSession, root: String, query: Seq[Float],
       k: Int, nProbe: Int): DataFrame =
-    probeCandidates(spark, root, query, nProbe)
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(k)
+    open(spark, root).annTopK(query, k, nProbe)
 }

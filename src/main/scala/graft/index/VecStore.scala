@@ -30,9 +30,18 @@ private[graft] object VecStore {
     * read of the freshly written store. The manifest commit (`published`)
     * is LAST: a crash before it leaves orphan dirs the next build
     * overwrites.
+    *
+    * `expectDim`: every quantizer maps a wrong-length or null-element
+    * vector to SOME partition (cell 0 / a junk bucket) rather than
+    * erroring per row — correct for dirty data in a one-shot scan, but an
+    * ingest whose vectors can never match a query must fail LOUDLY. The
+    * dim audit rides the same Observation as the row count (zero extra
+    * passes) and aborts BEFORE the manifest commit, so a bad batch leaves
+    * only an orphan dir.
     */
   def writeInitial(assigned: DataFrame, pcol: String, nParts: Int,
-      root: String, config: Map[String, String]): Unit = {
+      root: String, config: Map[String, String],
+      expectDim: Option[Int] = None): Unit = {
     val spark = assigned.sparkSession
     val f = IndexCatalog.fs(spark, root)
     val tmp = s"$root/_tmp_vectors"
@@ -41,15 +50,37 @@ private[graft] object VecStore {
     assigned
       .repartition(nParts, col(pcol))
       .sortWithinPartitions(col("vec_id"))
-      .observe(obs, count(lit(1)).as("rows"))
+      .observe(obs, count(lit(1)).as("rows"), badDimAgg(expectDim))
       .write.partitionBy(pcol).parquet(tmp)
     val rows = obs.get("rows").asInstanceOf[Long]
+    requireDims(obs, expectDim, root)
     val dst = new Path(s"$root/vectors")
     f.delete(dst, true)
     f.rename(new Path(tmp), dst)
     IndexCatalog.writeManifest(spark, root,
       config + ("rows" -> rows.toString) + ("published" -> "true"))
   }
+
+  /** Count of rows whose vector is null / wrong-length / has null
+    * elements (always observed; a None `expectDim` just skips the
+    * post-write check so legacy callers keep their semantics).
+    */
+  private def badDimAgg(expectDim: Option[Int]) = {
+    val d = expectDim.getOrElse(-1)
+    sum(when(col("v").isNull
+      .or(size(col("v")) =!= lit(d))
+      .or(exists(col("v"), e => e.isNull)), 1L).otherwise(0L)).as("bad_dim")
+  }
+
+  private def requireDims(obs: org.apache.spark.sql.Observation,
+      expectDim: Option[Int], root: String): Unit =
+    expectDim.foreach { d =>
+      val bad = Option(obs.get("bad_dim")).fold(0L)(_.asInstanceOf[Long])
+      require(bad == 0L,
+        s"$bad vector(s) with dim != $d (or null elements) in the batch " +
+          s"for $root — such vectors would be unsearchable; aborting before " +
+          "the manifest commit (only an orphan stage dir is left)")
+    }
 
   /** Phase 1 of an append (STAGE): write the assigned delta
     * partition-sorted under a generation-unique stage dir and commit
@@ -60,7 +91,8 @@ private[graft] object VecStore {
     * so a replayed micro-batch can recognize its own crashed attempt).
     */
   def stage(assigned: DataFrame, pcol: String, nParts: Int,
-      root: String, extra: Map[String, String] = Map.empty): Int = {
+      root: String, extra: Map[String, String] = Map.empty,
+      expectDim: Option[Int] = None): Int = {
     val spark = assigned.sparkSession
     val m = IndexCatalog.readManifest(spark, root)
     require(m.getOrElse("published", "") == "true",
@@ -73,9 +105,11 @@ private[graft] object VecStore {
     assigned
       .repartition(nParts, col(pcol))
       .sortWithinPartitions(col("vec_id"))
-      .observe(obs, count(lit(1)).as("rows")) // one pass: count rides the write
+      // one pass: count AND dim audit ride the write
+      .observe(obs, count(lit(1)).as("rows"), badDimAgg(expectDim))
       .write.partitionBy(pcol).parquet(stageDir)
     val deltaRows = obs.get("rows").asInstanceOf[Long]
+    requireDims(obs, expectDim, root) // before the stage-commit write
     IndexCatalog.writeManifest(spark, root, IndexCatalog.readManifest(spark, root) ++
       extra +
       ("append.staged" -> g.toString) +
@@ -125,10 +159,7 @@ private[graft] object VecStore {
     val m = IndexCatalog.readManifest(spark, root)
     val newRows = m.getOrElse("rows", "0").toLong +
       m.getOrElse(s"append.$g.rows", "0").toLong
-    val promoted = m.get("stream.stagedBatch") match {
-      case Some(b) => m - "stream.stagedBatch" + ("stream.lastBatch" -> b)
-      case None => m
-    }
+    val promoted = IndexCatalog.promoteStreamMarker(m)
     IndexCatalog.writeManifest(spark, root,
       promoted - "append.staged" - s"append.$g.rows" +
         ("append.gen" -> g.toString) + ("rows" -> newRows.toString))

@@ -43,7 +43,8 @@ object VectorIndex {
     VecStore.writeInitial(assigned(emb, id, vec, dim, nBits), "bucket",
       1 << nBits, root, Map(
         "config.dim" -> dim.toString,
-        "config.nBits" -> nBits.toString))
+        "config.nBits" -> nBits.toString),
+      expectDim = Some(dim))
   }
 
   private def assigned(emb: DataFrame, id: String, vec: String,
@@ -78,7 +79,7 @@ object VectorIndex {
     require(m.getOrElse("published", "") == "true", s"no published vector index at $root")
     val (dim, nBits) = (m("config.dim").toInt, m("config.nBits").toInt)
     VecStore.stage(assigned(emb, id, vec, dim, nBits), "bucket", 1 << nBits,
-      root, extra)
+      root, extra, expectDim = Some(dim))
   }
 
   /** Finish an append interrupted between stage-commit and publish-commit.

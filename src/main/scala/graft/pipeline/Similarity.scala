@@ -138,6 +138,78 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
   }
 
+  /** Lloyd (k-means) refinement of an IVF centroid sample, on cosine
+    * geometry: `iters` rounds of
+    *
+    *  1. assign — ONE codegen'd corpus map ([[ivfCellCol]]; no join, no
+    *     shuffle of corpus rows);
+    *  2. per-(cell, dim) sums — `posexplode` + one partially-aggregated
+    *     `groupBy(cell, pos)` whose combine state and shuffle volume are
+    *     bounded by `nCells·dim` per task, never by corpus size;
+    *  3. driver update of the ≤ `nCells·dim` sums (the same
+    *     capped-driver-collect contract as [[ivfCentroids]], enforced by
+    *     the `require` below).
+    *
+    * Spherical k-means: members are L2-normalized before the mean so each
+    * new centroid is its cell's mean DIRECTION — the argmax-cosine
+    * assignment is scale-invariant, so letting long vectors drag the
+    * mean would train a different objective than the one queries use.
+    * Zero-norm / wrong-dim / null-element vectors are excluded from
+    * training (they carry no direction; at assignment time they fall in
+    * cell 0 as always). A cell that loses all members keeps its previous
+    * centroid, so cell ids stay dense and probe semantics never collapse.
+    *
+    * Deterministic given the input sample up to floating-point reduction
+    * order (double sums; the distributed reduction order is
+    * plan-dependent) — which is why the DEFAULT quantizer everywhere
+    * stays the plain hash sample: oracle-gated queries need bit-stable
+    * centroids. Refinement is the measured-recall upgrade
+    * (BENCH.md "IVF refinement"): same plan shapes, better cells.
+    */
+  def kmeansRefine(emb: DataFrame, vec: String,
+      cents: Array[(Int, Array[Float])], iters: Int): Array[(Int, Array[Float])] = {
+    require(iters >= 0, "iters >= 0")
+    if (iters == 0 || cents.isEmpty) return cents
+    val nCells = cents.length
+    val dim = cents.head._2.length
+    require(nCells.toLong * dim <= (1L << 22),
+      s"nCells*dim = ${nCells.toLong * dim} exceeds the 4M-row driver " +
+        "collect cap for per-(cell,dim) sums — shrink the quantizer or " +
+        "refine on a corpus sample")
+    val nrm = sqrt(aggregate(col("v0"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val training = emb
+      .select(col(vec).as("v0"))
+      .filter(col("v0").isNotNull && size(col("v0")) === dim &&
+        !exists(col("v0"), _.isNull))
+      .select(col("v0"), nrm.as("n0"))
+      .filter(col("n0") > 0.0d)
+      .select(col("v0"), transform(col("v0"), x => x.cast("double") / col("n0")).as("unit"))
+    var cur = cents
+    var it = 0
+    while (it < iters) {
+      val rows = training
+        .select(ivfCellCol(col("v0"), cur).as("cell"),
+          posexplode(col("unit")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val cnt = new Array[Long](nCells)
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        sums(c)(r.getInt(1)) = r.getDouble(2)
+        cnt(c) = r.getLong(3)
+      }
+      cur = cur.map { case (c, old) =>
+        if (cnt(c) == 0L) (c, old)
+        else (c, Array.tabulate(dim)(d => (sums(c)(d) / cnt(c)).toFloat))
+      }
+      it += 1
+    }
+    cur
+  }
+
   /** Nearest-centroid cell id as a pure codegen'd column: one fused
     * argmax loop over the centroid matrix
     * ([[graft.functions.NearestCentroid]] — centroids ride the generated

@@ -14,13 +14,16 @@ import graft.index.IndexCatalog
   * replays a micro-batch when the job dies between the append's publish
   * and the streaming checkpoint commit — a plain `addDocuments` per batch
   * would then index the same documents twice (duplicate postings, wrong
-  * document frequencies, silently shifted BM25 scores). The batch id rides
-  * the index's own manifest instead (the [[StreamingVectorIndexer]]
-  * protocol): STAGE commits `stream.stagedBatch = id` atomically with
-  * `append.staged`, PUBLISH promotes it to `stream.lastBatch` in the
-  * commit write, a replayed batch with `id <= stream.lastBatch` is a
-  * no-op, and one matching `stream.stagedBatch` resumes the publish
-  * instead of re-staging.
+  * document frequencies, silently shifted BM25 scores). The batch marker
+  * rides the index's own manifest instead (the [[StreamingVectorIndexer]]
+  * protocol), bound to the stream's checkpoint lineage
+  * ([[StreamLineage]] — batch ids restart at 0 under a new checkpoint, so
+  * a bare id guard would silently drop a new stream's data): STAGE commits
+  * `stream.stagedBatch = <queryId>:<batchId>` atomically with
+  * `append.staged`, PUBLISH promotes it to the per-lineage `stream.lastBatch.<queryId>` in the
+  * commit write, and a batch already recorded for the SAME lineage is a
+  * no-op (a crashed attempt is first finished by the resume call, whose
+  * publish promotes the marker the guard then sees).
   *
   * The reference has no streaming at all; this is the north-star "keep the
   * index fresh" deployment shape: readStream (files/Kafka/...) →
@@ -37,32 +40,27 @@ object StreamingIndexer {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) applyBatch(batch, docIdCol, root, batchId)
+        if (!batch.isEmpty)
+          applyBatch(batch, docIdCol, root, batchId,
+            StreamLineage.id(batch.sparkSession, checkpoint))
       }
       .start()
 
   /** Apply one micro-batch idempotently (exposed for the crash-replay
-    * spec). Safe to call with the same `batchId` any number of times and
-    * from a fresh attempt after a crash at any internal point.
+    * spec). Safe to call with the same `(streamId, batchId)` any number of
+    * times and from a fresh attempt after a crash at any internal point.
     */
   private[graft] def applyBatch(batch: DataFrame, docIdCol: String,
-      root: String, batchId: Long): Unit = {
+      root: String, batchId: Long, streamId: String): Unit = {
     val spark = batch.sparkSession
-    val m = IndexCatalog.manifest(spark, root)
-    if (m.get("stream.lastBatch").exists(_.toLong >= batchId)) return
-    if (m.contains("append.staged") &&
-        m.get("stream.stagedBatch").contains(batchId.toString)) {
-      // crashed between THIS batch's stage-commit and publish: the staged
-      // tables already hold exactly this delta — finish the publish (which
-      // promotes the marker) instead of re-staging a duplicate
-      IndexCatalog.resumeAppend(spark, root)
-      return
-    }
-    // finish any unrelated pending append (e.g. a crashed direct
-    // addDocuments) before staging this batch
+    // finish ANY pending append first — including this very batch's
+    // crashed attempt (its publish promotes the staged marker to
+    // its stream.lastBatch.<id> key, which the lineage guard below catches)
     IndexCatalog.resumeAppend(spark, root)
+    if (StreamLineage.applied(IndexCatalog.manifest(spark, root), streamId, batchId))
+      return
     val g = IndexCatalog.stageAppend(batch, docIdCol, root,
-      extra = Map("stream.stagedBatch" -> batchId.toString))
+      extra = Map("stream.stagedBatch" -> StreamLineage.marker(streamId, batchId)))
     IndexCatalog.publishAppend(spark, root, g)
   }
 }

@@ -16,16 +16,19 @@ import graft.index.{IvfIndex, VecStore, VectorIndex}
   * a micro-batch when the job dies between the append's publish and the
   * streaming checkpoint commit — a plain `addVectors` per batch would then
   * stage the same delta twice (duplicate vectors, silently wrong top-k
-  * counts). The batch id rides the store's own manifest instead:
+  * counts). The batch marker rides the store's own manifest instead, bound
+  * to the stream's checkpoint lineage ([[StreamLineage]] — batch ids
+  * restart at 0 under a new checkpoint, so a bare id guard would silently
+  * drop a new stream's vectors):
   *
-  *  - STAGE commits `stream.stagedBatch = id` atomically with
-  *    `append.staged` (one manifest write);
-  *  - PUBLISH promotes it to `stream.lastBatch` in the commit write
+  *  - STAGE commits `stream.stagedBatch = <queryId>:<batchId>` atomically
+  *    with `append.staged` (one manifest write);
+  *  - PUBLISH promotes it to the per-lineage `stream.lastBatch.<queryId>` in the commit write
   *    ([[VecStore.publish]]) — append-applied and batch-recorded are one
   *    atomic transition, whichever code path finishes a crashed append;
-  *  - a replayed batch with `id <= stream.lastBatch` is a no-op, and one
-  *    matching `stream.stagedBatch` resumes the publish instead of
-  *    re-staging.
+  *  - a batch already recorded for the SAME lineage is a no-op (a crashed
+  *    attempt is first finished by the resume call, whose publish promotes
+  *    the marker the guard then sees).
   *
   * StreamingVectorIndexerSpec fuzzes the crash points; the external gate
   * is q46 (streamed IVF ingestion, full-corpus DuckDB oracle with the
@@ -43,32 +46,27 @@ object StreamingVectorIndexer {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) applyBatch(batch, idCol, vecCol, root, batchId)
+        if (!batch.isEmpty)
+          applyBatch(batch, idCol, vecCol, root, batchId,
+            StreamLineage.id(batch.sparkSession, checkpoint))
       }
       .start()
 
   /** Apply one micro-batch idempotently (exposed for the crash-replay
-    * spec). Safe to call with the same `batchId` any number of times and
-    * from a fresh attempt after a crash at any internal point.
+    * spec). Safe to call with the same `(streamId, batchId)` any number of
+    * times and from a fresh attempt after a crash at any internal point.
     */
   private[graft] def applyBatch(batch: DataFrame, idCol: String,
-      vecCol: String, root: String, batchId: Long): Unit = {
+      vecCol: String, root: String, batchId: Long, streamId: String): Unit = {
     val spark = batch.sparkSession
-    val m = VecStore.manifest(spark, root)
-    if (m.get("stream.lastBatch").exists(_.toLong >= batchId)) return
-    val pcol = partitionCol(m)
-    if (m.contains("append.staged") &&
-        m.get("stream.stagedBatch").contains(batchId.toString)) {
-      // crashed between THIS batch's stage-commit and publish: the staged
-      // files already hold exactly this delta — finish the publish (which
-      // promotes the marker) instead of re-staging a duplicate
-      VecStore.resumeAppend(spark, root, pcol)
-      return
-    }
-    // finish any unrelated pending append (e.g. a crashed direct
-    // addVectors) before staging this batch
+    val pcol = partitionCol(VecStore.manifest(spark, root))
+    // finish ANY pending append first — including this very batch's
+    // crashed attempt (its publish promotes the staged marker to
+    // its stream.lastBatch.<id> key, which the lineage guard below catches)
     VecStore.resumeAppend(spark, root, pcol)
-    val marker = Map("stream.stagedBatch" -> batchId.toString)
+    val m = VecStore.manifest(spark, root)
+    if (StreamLineage.applied(m, streamId, batchId)) return
+    val marker = Map("stream.stagedBatch" -> StreamLineage.marker(streamId, batchId))
     val g =
       if (isIvf(m)) IvfIndex.stageVectors(batch, idCol, vecCol, root, marker)
       else VectorIndex.stageVectors(batch, idCol, vecCol, root, marker)

@@ -206,6 +206,74 @@ class IncrementalBlockSpec extends TestBase {
       .select("term", "doc_id", "tf", "fl", "occ")).count() == 0)
   }
 
+  test("buildBlocks finishes a crashed VACUUM block swap, drop list included") {
+    // round-5 review finding: a serving job that calls buildBlocks (the
+    // routine pre-readBlocks step) after a vacuum crashed mid block swap
+    // used to finish the swap WITHOUT applying blocks.swap.drop — the
+    // all-emptied partitions survived with a stale row count, masked only
+    // while the tombstones happened to still exist.
+    val root = Files.createTempDirectory("graft_iblk6_").toString
+    IndexCatalog.build(corpus(0L until 200L), "id", Seq("body"), root, nBuckets = 4)
+    IndexCatalog.buildBlocks(spark, root, blockSize = 16, rangesPerGroup = 4)
+    // rg 0 = doc ids 0..63 tombstoned WHOLESALE (every rg=0 partition
+    // empties ⇒ non-empty drop list) plus a partial rg 2 rewrite
+    IndexCatalog.removeDocuments(spark, root, (0L until 64L) ++ (130L until 140L))
+    IndexCatalog.vacuum(spark, root, crashBeforeCommit = false,
+      crashMidBlockSwap = true)
+    val mf = java.nio.file.Files.readString(Paths.get(s"$root/manifest.json"))
+    assert(mf.contains("\"blocks.swap\": \"vacuum\"") &&
+      mf.contains("\"blocks.swap.drop\""))
+
+    IndexCatalog.buildBlocks(spark, root) // NOT vacuum — the serving path
+    // swap finished: readable, retired partitions gone, row count honest
+    assert(!blockFileHashes(root).keys.exists(_.contains("rg=0")),
+      "all-emptied rg=0 partitions must be dropped by the finished swap")
+    val idx = IndexCatalog.read(spark, root)
+    val back = decodeAll(root)
+    assert(back.filter(col("doc_id") < 64L ||
+      col("doc_id").between(130L, 139L)).count() == 0)
+    assert(back.count() == idx.postings.count())
+    val m2 = java.nio.file.Files.readString(Paths.get(s"$root/manifest.json"))
+    assert(!m2.contains("blocks.swap"))
+    val recorded = "\"stage\\.blocks\\.rows\": \"(\\d+)\"".r
+      .findFirstMatchIn(m2).get.group(1).toLong
+    val (blocks, _, _) = IndexCatalog.readBlocks(spark, root)
+    assert(blocks.count() == recorded)
+    // the still-pending vacuum completes cleanly afterwards
+    IndexCatalog.vacuum(spark, root)
+    assert(!java.nio.file.Files.readString(Paths.get(s"$root/manifest.json"))
+      .contains("vacuum.pending"))
+    assert(decodeAll(root).exceptAll(IndexCatalog.read(spark, root).postings
+      .select("term", "doc_id", "tf", "fl", "occ")).count() == 0)
+  }
+
+  test("a LEGACY pending vacuum (no tombfiles snapshot) still retires tombstones") {
+    // round-5 review finding: resuming a pre-snapshot-era pending vacuum
+    // wrote vacuum.tombfiles="" — the whole-dir legacy delete became
+    // unreachable and the tombstone mask (over already-purged docs)
+    // survived every later vacuum.
+    val root = Files.createTempDirectory("graft_iblk7_").toString
+    IndexCatalog.build(corpus(0L until 100L), "id", Seq("body"), root, nBuckets = 4)
+    IndexCatalog.removeDocuments(spark, root, 10L until 20L)
+    IndexCatalog.vacuum(spark, root, crashBeforeCommit = true)
+    // simulate the crash having happened under the pre-snapshot engine:
+    // strip the vacuum.tombfiles line from the manifest
+    val mp = Paths.get(s"$root/manifest.json")
+    val legacy = java.nio.file.Files.readString(mp).linesIterator
+      .filterNot(_.contains("vacuum.tombfiles")).mkString("\n")
+    java.nio.file.Files.writeString(mp, legacy)
+    // the out-of-band rewrite invalidates Hadoop LocalFS's sidecar checksum
+    java.nio.file.Files.deleteIfExists(Paths.get(s"$root/.manifest.json.crc"))
+
+    IndexCatalog.vacuum(spark, root) // resume under the current engine
+    assert(!java.nio.file.Files.exists(Paths.get(s"$root/tombstones")),
+      "legacy resume must fall back to the whole-dir tombstone delete")
+    val idx = IndexCatalog.read(spark, root)
+    assert(!idx.hasTombstones)
+    assert(idx.postings.filter(col("doc_id").between(10L, 19L)).count() == 0)
+    assert(idx.docstats.count() == 90)
+  }
+
   test("fold crash protocol: pending marker survives and a re-run completes") {
     val root = Files.createTempDirectory("graft_iblk4_").toString
     IndexCatalog.build(corpus(0L until 100L), "id", Seq("body"), root, nBuckets = 4)

@@ -315,11 +315,11 @@ class IncrementalSpec extends TestBase {
     // batch 0 applied, then replayed (checkpoint lost after publish): a
     // duplicate would double "abc"'s df and shift every BM25 score
     val b0 = batch(batchB)
-    StreamingIndexer.applyBatch(b0, "id", root, 0L)
+    StreamingIndexer.applyBatch(b0, "id", root, 0L, "sA")
     assert(IndexCatalog.read(spark, root).docstats.count() == 4)
     val scores0 = QueryEngine.query(IndexCatalog.read(spark, root), "abc", BM25())
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    StreamingIndexer.applyBatch(b0, "id", root, 0L)
+    StreamingIndexer.applyBatch(b0, "id", root, 0L, "sA")
     assert(IndexCatalog.read(spark, root).docstats.count() == 4,
       "replayed batch must be a no-op")
     val scoresReplay = QueryEngine.query(IndexCatalog.read(spark, root), "abc", BM25())
@@ -330,12 +330,12 @@ class IncrementalSpec extends TestBase {
     // FINISH the staged attempt, not stage a second copy
     val b1 = batch(Seq((4L, "abc zz", "qqq"), (5L, "rrr", "abc")))
     IndexCatalog.stageAppend(b1, "id", root,
-      extra = Map("stream.stagedBatch" -> "1"))
+      extra = Map("stream.stagedBatch" -> "sA:1"))
     assert(IndexCatalog.read(spark, root).docstats.count() == 4,
       "staged-only batch must not touch the live index")
-    StreamingIndexer.applyBatch(b1, "id", root, 1L)
+    StreamingIndexer.applyBatch(b1, "id", root, 1L, "sA")
     assert(IndexCatalog.read(spark, root).docstats.count() == 6)
-    StreamingIndexer.applyBatch(b1, "id", root, 1L)
+    StreamingIndexer.applyBatch(b1, "id", root, 1L, "sA")
     assert(IndexCatalog.read(spark, root).docstats.count() == 6)
 
     // the streamed index equals a one-shot build over everything

@@ -194,4 +194,41 @@ class IvfIndexSpec extends TestBase {
       assert(ivf >= 0.85, s"IVF clustered recall@$k too low: $ivf")
     } finally { emb.unpersist(); () }
   }
+
+  test("wrong-dim vectors fail the ingest LOUDLY instead of landing in cell 0") {
+    // round-5 review finding: the quantizer maps a wrong-length vector to
+    // cell 0 (dirty-data tolerance of the one-shot scan path), so a
+    // mis-dimensioned batch used to publish fine and its vectors were
+    // simply unsearchable. The dim audit rides the stage write's
+    // Observation and aborts before any manifest commit.
+    import spark.implicits._
+    val root = builtRoot()
+    val bad = (300L until 320L).map(i =>
+      (i, Array.tabulate(dim / 2)(d => (i + d).toFloat))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      IvfIndex.addVectors(bad, "vec_id", "embedding", root)
+    }
+    // nothing staged or published; the store is untouched and still usable
+    assert(IvfIndex.read(spark, root).count() == 300)
+    val good = (300L until 320L).map(i =>
+      (i, Array.tabulate(dim)(d => (((i * 37 + d * 13) % 19) - 9).toFloat)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.addVectors(good, "vec_id", "embedding", root)
+    assert(IvfIndex.read(spark, root).count() == 320)
+
+    // a null ELEMENT is just as unsearchable as a wrong length
+    val nully = Seq((320L, Seq[Option[Float]](Some(1f), None) ++
+      Seq.fill(dim - 2)(Option(0f))))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    intercept[IllegalArgumentException] {
+      IvfIndex.addVectors(nully, "vec_id", "embedding", root)
+    }
+    // and a fresh BUILD with mixed dims is refused the same way
+    val mixedRoot = Files.createTempDirectory("graft_ivfbad_").toString
+    intercept[IllegalArgumentException] {
+      IvfIndex.build(vectors.unionByName(bad), "vec_id", "embedding",
+        dim, nCells, mixedRoot)
+    }
+  }
 }

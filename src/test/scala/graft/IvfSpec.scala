@@ -168,4 +168,68 @@ class IvfSpec extends TestBase {
         s"IVF recall@10 with 2/16 cells on clustered vectors too low: $recall")
     } finally { ds.unpersist(); () }
   }
+
+  test("Lloyd refinement: empty cells keep their centroid; members re-center") {
+    import spark.implicits._
+    // every vector points near (1, 0): cell 1's opposite-direction
+    // centroid captures nothing and must survive refinement UNCHANGED,
+    // while cell 0's centroid moves to the members' mean direction
+    val ds = (0 until 40).map { i =>
+      val t = (i % 9 - 4) * 0.05
+      (i.toLong, Array(math.cos(t).toFloat, math.sin(t).toFloat))
+    }.toDF("vec_id", "embedding")
+    val init = Array(0 -> Array(1f, 0f), 1 -> Array(-1f, 0f))
+    val out = Similarity.kmeansRefine(ds, "embedding", init, iters = 2)
+    assert(out.map(_._1).toSeq == Seq(0, 1), "cell ids must stay dense")
+    assert(out(1)._2.toSeq == Seq(-1f, 0f), "empty cell must keep its centroid")
+    // members are unit vectors symmetric around angle ~0 ⇒ mean direction
+    // ≈ (c, 0) with c < 1 (shrinkage from averaging directions)
+    assert(math.abs(out(0)._2(1)) < 0.03 &&
+      out(0)._2(0) > 0.9f && out(0)._2(0) < 1.0f,
+      s"refined centroid ${out(0)._2.toSeq} not at the mean direction")
+    // zero iterations is the identity
+    assert(Similarity.kmeansRefine(ds, "embedding", init, 0) sameElements init)
+  }
+
+  test("Lloyd refinement never worsens the spherical objective; recall holds") {
+    val ds = graft.tools.VectorFixtures
+      .clustered(spark, 1600, 64, 40, 0.25, 11L).cache()
+    try {
+      val sampled = Similarity.ivfCentroids(ds, "vec_id", "embedding", 16)
+      val refined = Similarity.kmeansRefine(ds, "embedding", sampled, iters = 3)
+      // training objective: mean cosine to the assigned (nearest) centroid.
+      // Lloyd is monotone in it (up to float reduction order).
+      def objective(cents: Array[(Int, Array[Float])]): Double = {
+        val cexp = cents.map { case (c, v) =>
+          Similarity.cosine(col("embedding"),
+            array(v.toIndexedSeq.map(lit(_)): _*))
+        }
+        ds.select(greatest(cexp.toIndexedSeq: _*).as("m"))
+          .agg(avg(col("m"))).head().getDouble(0)
+      }
+      val so = objective(sampled); val ro = objective(refined)
+      assert(ro >= so - 1e-9, s"refined objective $ro below sampled $so")
+      // and recall at the same probe budget does not regress
+      def recall(cents: Array[(Int, Array[Float])]): Double = {
+        val qs = (0L until 1600L by 200L).map(i =>
+          ds.filter(col("vec_id") === i).select("embedding").head().getSeq[Float](0))
+        qs.map { q =>
+          val truth = Similarity.cosineTopK(ds, "vec_id", "embedding", q, 10)
+            .collect().map(_.getLong(0)).toSet
+          val probes = Similarity.rankCells(cents, q).take(2)
+          val got = ds.select(col("vec_id"),
+              Similarity.ivfCellCol(col("embedding"), cents).as("cell"),
+              Similarity.cosine(col("embedding"),
+                array(q.map(lit(_)): _*)).as("cos"))
+            .filter(col("cell").isin(probes: _*))
+            .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+            .collect().map(_.getLong(0)).toSet
+          (truth & got).size.toDouble / truth.size
+        }.sum / qs.size
+      }
+      val rs = recall(sampled); val rr = recall(refined)
+      assert(rr >= rs - 0.05,
+        s"refined recall $rr regressed vs sampled $rs at equal probes")
+    } finally { ds.unpersist(); () }
+  }
 }

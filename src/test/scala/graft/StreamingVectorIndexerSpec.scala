@@ -98,9 +98,9 @@ class StreamingVectorIndexerSpec extends TestBase {
 
     // batch 0 applied, then replayed (checkpoint lost after publish)
     val b0 = vecsDf(50 until 80)
-    StreamingVectorIndexer.applyBatch(b0, "vec_id", "embedding", root, 0L)
+    StreamingVectorIndexer.applyBatch(b0, "vec_id", "embedding", root, 0L, "sA")
     assert(VectorIndex.read(spark, root).count() == 80)
-    StreamingVectorIndexer.applyBatch(b0, "vec_id", "embedding", root, 0L)
+    StreamingVectorIndexer.applyBatch(b0, "vec_id", "embedding", root, 0L, "sA")
     assert(VectorIndex.read(spark, root).count() == 80,
       "replayed batch must be a no-op")
 
@@ -108,12 +108,12 @@ class StreamingVectorIndexerSpec extends TestBase {
     // FINISH the staged attempt, not stage a second copy
     val b1 = vecsDf(80 until 120)
     VectorIndex.stageVectors(b1, "vec_id", "embedding", root,
-      Map("stream.stagedBatch" -> "1"))
+      Map("stream.stagedBatch" -> "sA:1"))
     assert(VectorIndex.read(spark, root).count() == 80,
       "staged-only batch must not touch the live store")
-    StreamingVectorIndexer.applyBatch(b1, "vec_id", "embedding", root, 1L)
+    StreamingVectorIndexer.applyBatch(b1, "vec_id", "embedding", root, 1L, "sA")
     assert(VectorIndex.read(spark, root).count() == 120)
-    StreamingVectorIndexer.applyBatch(b1, "vec_id", "embedding", root, 1L)
+    StreamingVectorIndexer.applyBatch(b1, "vec_id", "embedding", root, 1L, "sA")
     assert(VectorIndex.read(spark, root).count() == 120)
 
     // a crashed DIRECT addVectors (no marker) is finished before the next
@@ -121,13 +121,47 @@ class StreamingVectorIndexerSpec extends TestBase {
     val direct = vecsDf(120 until 140)
     VectorIndex.stageVectors(direct, "vec_id", "embedding", root)
     val b2 = vecsDf(140 until 160)
-    StreamingVectorIndexer.applyBatch(b2, "vec_id", "embedding", root, 2L)
+    StreamingVectorIndexer.applyBatch(b2, "vec_id", "embedding", root, 2L, "sA")
     assert(VectorIndex.read(spark, root).count() == 160)
     // the direct delta's rows are present exactly once
     assert(VectorIndex.read(spark, root)
       .filter(col("vec_id") >= 120 && col("vec_id") < 140).count() == 20)
     // and a very late replay of an old batch is still a no-op
-    StreamingVectorIndexer.applyBatch(b0, "vec_id", "embedding", root, 0L)
+    StreamingVectorIndexer.applyBatch(b0, "vec_id", "embedding", root, 0L, "sA")
     assert(VectorIndex.read(spark, root).count() == 160)
+  }
+
+  test("a NEW checkpoint lineage's batch 0 is applied, not dropped as a replay") {
+    // round-5 review finding: foreachBatch ids restart at 0 under a new
+    // checkpoint (fresh source attached, or the old checkpoint dir
+    // deleted); a bare `batchId <= lastBatch` guard silently dropped the
+    // new stream's first batches. Markers are lineage-bound now.
+    val root = Files.createTempDirectory("graft_slin_").toString
+    VectorIndex.build(vecsDf(0 until 50), "vec_id", "embedding", dim, 4, root)
+    StreamingVectorIndexer.applyBatch(vecsDf(50 until 70), "vec_id", "embedding",
+      root, 3L, "sA")
+    assert(VectorIndex.read(spark, root).count() == 70)
+
+    // stream sB (new checkpoint) starts at batch 0 with NEW vectors
+    StreamingVectorIndexer.applyBatch(vecsDf(70 until 90), "vec_id", "embedding",
+      root, 0L, "sB")
+    assert(VectorIndex.read(spark, root).count() == 90,
+      "a new lineage's batch 0 carries new vectors and must be applied")
+    // sB's own replay is a no-op...
+    StreamingVectorIndexer.applyBatch(vecsDf(70 until 90), "vec_id", "embedding",
+      root, 0L, "sB")
+    assert(VectorIndex.read(spark, root).count() == 90)
+    // ...and so is a LATE replay from the retired sA (serialized writers):
+    // per-lineage keys keep both guards live simultaneously
+    StreamingVectorIndexer.applyBatch(vecsDf(50 until 70), "vec_id", "embedding",
+      root, 3L, "sA")
+    assert(VectorIndex.read(spark, root).count() == 90)
+
+    // legacy bare-number markers (pre-lineage engine) suppress ANY lineage
+    import graft.streaming.StreamLineage
+    assert(StreamLineage.applied(Map("stream.lastBatch" -> "4"), "sC", 4L))
+    assert(!StreamLineage.applied(Map("stream.lastBatch" -> "4"), "sC", 5L))
+    assert(StreamLineage.applied(Map("stream.lastBatch.sC" -> "4"), "sC", 3L))
+    assert(!StreamLineage.applied(Map("stream.lastBatch.sC" -> "4"), "sD", 3L))
   }
 }
