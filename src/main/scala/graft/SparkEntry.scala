@@ -616,6 +616,32 @@ object SparkEntry {
       TextStats.rollingFingerprints(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // pipeline: intra-document repetition signals (Gopher-family quality
+    // rules): duplicate-line fraction + top-bigram coverage, all row-local
+    // and codegen'd. DuckDB recomputes the bigram mode with an
+    // unnest+group plan; the Spark side uses a sort+run-length fold — two
+    // independent algorithms, same numbers, micro-unit gated
+    // (the corpus is single-line and its lines never duplicate naturally,
+    // so the gate synthesizes line structure deterministically: every
+    // " a " becomes a newline — same plain leftmost-non-overlapping
+    // replace in both engines — and every third doc gets its FIRST line
+    // appended again, so the duplicate-line fraction is a real varying
+    // signal, not uniformly zero)
+    "q47_repetition" -> ((s, dir) => {
+      val repl = regexp_replace(col("text"), " a ", "\n")
+      val lined = when(col("doc_id") % 3 === 0,
+        concat(repl, lit("\n"), element_at(split(repl, "\n"), 1)))
+        .otherwise(repl)
+      TextStats.repetitionStats(
+        docs(s, dir).select(col("doc_id"), lined.as("text")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"),
+          micro(col("dup_line_frac")).as("dup_micro"),
+          col("top_bigram_n"),
+          micro(col("top_bigram_frac")).as("top_bg_micro"))
+        .orderBy("doc_id")
+    }),
+
     // pipeline: multimodal decode — REAL header parsing end-to-end: the
     // corpus text is encoded into genuine PNG / header-accurate JPEG blobs
     // (MediaCodec; dims derived from the first two text bytes) and
@@ -1307,6 +1333,34 @@ object SparkEntry {
         |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
         |  (a, b) -> (a * 31 + b) % 2147483647) AS rollhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // repetition signals: the bigram mode via a completely different plan
+    // (unnest positions → group → max) than the engine's row-local sorted
+    // run-length fold; ratios computed ratio-first then micro'd, matching
+    // the Spark round(x * 1e6) order exactly
+    "q47_repetition" ->
+      """WITH r AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS r FROM documents),
+        |doc2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN r || chr(10) || string_split(r, chr(10))[1] ELSE r END AS text
+        |  FROM r),
+        |base AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM doc2),
+        |lines AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CASE WHEN len(ls) > 0 THEN CAST(round(((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls)) * 1000000.0) AS BIGINT) ELSE 0 END AS dup_micro
+        |  FROM base),
+        |pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM base WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram FROM pos),
+        |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY 1),
+        |tok AS (SELECT doc_id, len(toks) AS n FROM base)
+        |SELECT l.doc_id, l.n_lines, l.dup_micro,
+        |  CAST(COALESCE(m.mc, 0) AS BIGINT) AS top_bigram_n,
+        |  CASE WHEN t.n >= 2 THEN CAST(round((COALESCE(m.mc, 0) * 1.0 / (t.n - 1)) * 1000000.0) AS BIGINT) ELSE 0 END AS top_bg_micro
+        |FROM lines l JOIN tok t USING (doc_id) LEFT JOIN mx m ON l.doc_id = m.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q26_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,

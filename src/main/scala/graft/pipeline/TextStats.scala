@@ -83,6 +83,51 @@ object TextStats {
     "de" -> Seq("der", "die", "und", "das", "nicht", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est"))
 
+  /** Intra-document repetition signals — the Gopher-family quality rules
+    * (duplicate-line fraction; most-frequent word-bigram coverage) that a
+    * training-data pipeline filters boilerplate and degenerate generations
+    * with. Both are ROW-LOCAL: lines and bigrams never leave their row, so
+    * the operator is one narrow codegen'd pass (no explode, no shuffle,
+    * O(tokens·log tokens) per doc from the sort) and scales with input
+    * splits like the other TextStats.
+    *
+    *  - `n_lines` / `dup_line_frac`: non-empty `\n`-lines; fraction that
+    *    are repeats of an earlier line = (total − distinct) / total.
+    *  - `top_bigram_n` / `top_bigram_frac`: occurrences of the most
+    *    frequent token bigram; as a fraction of the n−1 bigram slots
+    *    (∈ [0, 1]). The max count comes from a sort + one linear fold for
+    *    the longest equal-adjacent run — not the quadratic
+    *    count-each-distinct-in-array formulation, which melts on long docs.
+    */
+  def repetitionStats(docs: DataFrame, id: String, text: String): DataFrame = {
+    val arrs = docs.select(col(id).cast("long").as("doc_id"),
+      filter(split(col(text), "\n"), l => l =!= "").as("ls"),
+      Portable.tokens(col(text)).as("toks"))
+    val nl = size(col("ls"))
+    val dupFrac = when(nl > 0,
+      (nl - size(array_distinct(col("ls")))).cast("double") / nl.cast("double"))
+      .otherwise(lit(0.0))
+    val n = size(col("toks"))
+    val w = greatest(n - 1, lit(0))
+    val bg = zip_with(slice(col("toks"), lit(1), w),
+      slice(col("toks"), lit(2), w), (a, b) => concat_ws(" ", a, b))
+    val best = aggregate(sort_array(bg),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    arrs.select(col("doc_id"),
+      nl.cast("long").as("n_lines"),
+      dupFrac.as("dup_line_frac"),
+      best.as("top_bigram_n"),
+      when(n >= 2, best.cast("double") / w.cast("double"))
+        .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Deterministic document fingerprint: md5 over the normalized text
     * (lower-cased, whitespace collapsed) — the exact-dedup key.
     */

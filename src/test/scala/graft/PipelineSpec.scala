@@ -191,6 +191,36 @@ class PipelineSpec extends TestBase {
     assert(q(2L) < 0.1)
   }
 
+  test("repetition stats: hand-computed fractions, degenerate inputs, long-doc fold") {
+    import spark.implicits._
+    val d = Seq(
+      // 4 lines, "dup me" twice → dup 1/4; tokens: dup me x dup me y dup me
+      // (8 toks incl. newline-free split below uses spaces only)
+      (0L, "dup me\ndup me\nother line\nlast"),
+      (1L, ""), // empty: all zeros
+      (2L, "single"), // one token, no bigram
+      (3L, "a b a b a b a b"), // "a b" 4 of 7 slots, "b a" 3
+      (4L, (1 to 500).map(i => s"t${i % 3}").mkString(" "))) // long fold
+      .toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 0: lines = [dup me, dup me, other line, last] → (4-3)/4
+    assert(out(0L)._1 == 4 && math.abs(out(0L)._2 - 0.25) < 1e-12)
+    assert(out(1L) == ((0L, 0.0, 0L, 0.0)))
+    assert(out(2L) == ((1L, 0.0, 0L, 0.0)))
+    // doc 3: 8 tokens, 7 bigram slots, top bigram "a b" ×4
+    assert(out(3L)._3 == 4L && math.abs(out(3L)._4 - 4.0 / 7.0) < 1e-12)
+    // doc 4: tokens cycle t1 t2 t0; 500 tokens → 499 slots; each of the 3
+    // bigram kinds appears ~166×; top = ceil counts: "t1 t2" starts at
+    // positions 1,4,... → count = 167? compute independently:
+    val toks = (1 to 500).map(i => s"t${i % 3}")
+    val counts = toks.sliding(2).map(_.mkString(" ")).toSeq
+      .groupBy(identity).view.mapValues(_.size)
+    val want = counts.values.max.toLong
+    assert(out(4L)._3 == want && math.abs(out(4L)._4 - want / 499.0) < 1e-12)
+  }
+
   test("multimodal decode: real header round-trip, determinism, batch plumbing") {
     val media = Multimodal.syntheticMedia(docsWithDups, "doc_id", "text")
     val a = Multimodal.decodeFeatures(media, "doc_id", "media").collect()
