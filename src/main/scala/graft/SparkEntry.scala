@@ -642,6 +642,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // pipeline: PII/contact redaction. The corpus carries no PII, so the
+    // gate injects deterministic emails/URLs/IPs (plain string concat,
+    // identical in both engines) and checks counts AND the rewritten text
+    // byte-for-byte. Patterns live in the java-regex ∩ RE2 dialect subset
+    // so the oracle runs them verbatim.
+    "q48_redact" -> ((s, dir) => {
+      val salted = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" see https://ex.org/p"), col("doc_id"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 256, lit(".1")))
+          .otherwise(lit("")))
+      TextStats.redactPii(
+        docs(s, dir).select(col("doc_id"), salted.as("text")),
+        "doc_id", "text").orderBy("doc_id")
+    }),
+
     // pipeline: multimodal decode — REAL header parsing end-to-end: the
     // corpus text is encoded into genuine PNG / header-accurate JPEG blobs
     // (MediaCodec; dims derived from the first two text bytes) and
@@ -1361,6 +1381,26 @@ object SparkEntry {
         |  CASE WHEN t.n >= 2 THEN CAST(round((COALESCE(m.mc, 0) * 1.0 / (t.n - 1)) * 1000000.0) AS BIGINT) ELSE 0 END AS top_bg_micro
         |FROM lines l JOIN tok t USING (doc_id) LEFT JOIN mx m ON l.doc_id = m.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's regexp engine is RE2; the patterns are written in the
+    // java ∩ RE2 subset so both engines run them verbatim. 'g' flag per
+    // the DuckDB default-single-replacement quirk.
+    "q48_redact" ->
+      """WITH s AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' see https://ex.org/p' || doc_id ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text_clean
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q26_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,

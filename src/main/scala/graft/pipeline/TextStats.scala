@@ -128,6 +128,38 @@ object TextStats {
         .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Redaction patterns — deliberately in the regex dialect subset shared
+    * by java.util.regex and RE2 (no backrefs, no lookaround), so the same
+    * pattern string runs in Spark's codegen'd `regexp_replace` and in any
+    * RE2-based oracle/engine.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII / contact scrubbing — the redaction pass every training-data
+    * pipeline runs before anything ships: URLs, email addresses and IPv4
+    * literals are replaced with typed placeholder tokens, with per-doc
+    * match counts for filtering/reporting. One narrow codegen'd pass, no
+    * shuffle; counts are taken on the ORIGINAL text, and the rewrite is
+    * ordered URL → email → IP so an address inside a URL is redacted with
+    * its URL.
+    */
+  def redactPii(docs: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    val clean =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, UrlRe, "<URL>"),
+          EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>")
+    docs.select(col(id).cast("long").as("doc_id"),
+      size(regexp_extract_all(t, lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      clean.as("text_clean"))
+  }
+
   /** Deterministic document fingerprint: md5 over the normalized text
     * (lower-cased, whitespace collapsed) — the exact-dedup key.
     */

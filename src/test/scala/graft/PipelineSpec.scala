@@ -191,6 +191,26 @@ class PipelineSpec extends TestBase {
     assert(q(2L) < 0.1)
   }
 
+  test("PII redaction: counts + rewrite, URL-embedded addresses, clean docs untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "mail me at bob.smith+x@corp.example.org or visit https://a.b/c?d=e now"),
+      (1L, "server at 192.168.1.100 and 10.0.0.1 replied"),
+      (2L, "nothing to scrub here"),
+      // the email is part of the URL: the URL rewrite consumes it ([^\s]+
+      // runs to the space), counts still see both patterns on the original
+      (3L, "creds http://user@host.example.com/path end"))
+      .toDF("doc_id", "text")
+    val out = TextStats.redactPii(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(0L) == ((1L, 1L, 0L,
+      "mail me at <EMAIL> or visit <URL> now")))
+    assert(out(1L) == ((0L, 0L, 2L, "server at <IP> and <IP> replied")))
+    assert(out(2L) == ((0L, 0L, 0L, "nothing to scrub here")))
+    assert(out(3L) == ((1L, 1L, 0L, "creds <URL> end")))
+  }
+
   test("repetition stats: hand-computed fractions, degenerate inputs, long-doc fold") {
     import spark.implicits._
     val d = Seq(
