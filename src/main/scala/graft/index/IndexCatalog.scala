@@ -177,10 +177,18 @@ object IndexCatalog {
         .sortWithinPartitions(col("term"), col("doc_id"))
     }
     // termdict derives from the PERSISTED postings (resume-correct and
-    // cheaper than re-tokenizing)
+    // cheaper than re-tokenizing). Range-partitioned + sorted ON TERM:
+    // dictionary lookups are prefix (`startsWith`) and point (`term IN`)
+    // predicates — both push to parquet, and with term-ordered files they
+    // prune at the FILE/row-group level. At a 10^9-term vocabulary that
+    // turns every query's expansion resolve from a full dictionary scan
+    // into a handful of row groups; the extra range shuffle at build time
+    // is over the dictionary (vocab-sized), not the corpus.
     m = stage(spark, root, "termdict", m) {
       spark.read.parquet(s"$root/postings")
         .groupBy(col("term"), col("bucket")).agg(sum(col("occ")).as("df"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"))
     }
     m = stage(spark, root, "fieldstats", m) {
       val nf = fieldCols.size
@@ -924,6 +932,130 @@ object IndexCatalog {
     removeDocuments(root, ids.toDF("doc_id"))
   }
 
+  // ---- fuzzy expansion at scale: the deletion-variant table ----
+
+  /** `{s} ∪ {s with character i deleted}` as a Spark column — the
+    * symmetric-delete neighborhood for maxEdits = 1. Character-based
+    * (`substring`/`length` count code points), matching Spark's
+    * `levenshtein`. MUST stay definitionally identical to
+    * [[deletionVariantsDriver]] (asserted by FuzzySpec): the query side
+    * generates its variants on the driver, the dictionary side here, and a
+    * mismatch silently loses candidates.
+    */
+  private[graft] def deletionVariantsCol(term: org.apache.spark.sql.Column) =
+    // greatest(…, 0): a zero-length term (unreachable — the tokenizer drops
+    // empties — but sequence(0, -1) would DESCEND into [0, -1]) degrades to
+    // the identity variant instead of corrupt substrings
+    array_distinct(concat(
+      array(term),
+      transform(sequence(lit(0), greatest(length(term) - 1, lit(0))), i =>
+        concat(term.substr(lit(1), i), term.substr(i + lit(2), lit(Int.MaxValue))))))
+
+  /** Driver-side mirror of [[deletionVariantsCol]] for the query term. */
+  private[graft] def deletionVariantsDriver(term: String): Seq[String] =
+    (term +: term.indices.map(i => term.substring(0, i) + term.substring(i + 1))).distinct
+
+  /** Build the persisted deletion-variant table (`fuzzydict/`) for
+    * fuzzy (Levenshtein ≤ 1) term expansion at scale — the SymSpell
+    * observation: `lev(a,b) ≤ 1 ⇔ D₁(a) ∩ D₁(b) ≠ ∅` where
+    * `D₁(x) = {x} ∪ {x minus one character}`. Each BASE-dictionary term is
+    * stored once per variant, hive-partitioned by `vbucket =
+    * pmod(xxhash64(variant), nBuckets)`; a query then probes `O(len(q))`
+    * variants with `vbucket IN (…) AND variant IN (…)` — partition-pruned
+    * point lookups — instead of running `levenshtein` across the whole
+    * vocabulary (O(vocab) per query, the brute path
+    * [[graft.query.QueryEngine.query]] uses without this table).
+    *
+    * Coverage protocol (NO per-append maintenance cost): the table covers
+    * the BASE dictionary generation it was built from (`fuzzy.base`).
+    * Append DELTAS are not folded in — [[fuzzyCandidateDict]] brute-scans
+    * the ≤G small delta dictionaries per query (O(delta-vocab), the same
+    * cost shape as the delta-dictionary reads themselves). A ROLLUP or
+    * vacuum retires the base generation; the next [[fuzzyCandidateDict]]
+    * then refuses until buildFuzzy is re-run (dictionary-sized, not
+    * corpus-sized). Resumable like every stage; idempotent when current.
+    */
+  def buildFuzzy(spark: SparkSession, root: String): Unit = {
+    var m = readManifest(spark, root)
+    require(m.getOrElse("published", "") == "true", s"no published index at $root")
+    val base = tableDir(m, "termdict")
+    if (m.contains("stage.fuzzydict.rows")) {
+      if (m.getOrElse("fuzzy.base", "") == base) return // current
+      // stale (base dictionary rolled up / vacuumed): strip keys and
+      // rebuild — key-strip commits first so a crash never leaves a
+      // phantom stage over a half-rebuilt dir
+      writeManifest(spark, root,
+        m -- Seq("stage.fuzzydict.rows", "stage.fuzzydict.secs", "fuzzy.base"))
+      fs(spark, root).delete(new Path(s"$root/fuzzydict"), true)
+      m = readManifest(spark, root)
+    }
+    val nb = m("config.nBuckets").toInt
+    m = stage(spark, root, "fuzzydict", m, partitionBy = Seq("vbucket")) {
+      spark.read.parquet(s"$root/$base")
+        .select(col("term")).distinct()
+        .select(col("term"), explode(deletionVariantsCol(col("term"))).as("variant"))
+        .withColumn("vbucket", bucketOf(col("variant"), nb))
+        .repartition(nb, col("vbucket"))
+        .sortWithinPartitions(col("variant"), col("term"))
+    }
+    writeManifest(spark, root, m + ("fuzzy.base" -> base))
+  }
+
+  /** Pruned live-dictionary view for fuzzy resolution: rows
+    * `(term, df, bucket)` covering a SUPERSET of the dictionary terms
+    * within `maxEdits` edits of any query term (the resolver verifies with
+    * `levenshtein` — this view only prunes). Base vocabulary via the
+    * variant table (partition-pruned point lookups); append-delta
+    * vocabulary via an O(delta) scan of the small delta dictionaries. The
+    * returned plan filters [[termdictDf]] (the live view), so df is always
+    * the correct base+delta sum. Falls back to a length-window full-dict
+    * view if the candidate set exceeds `cap` (pathological only —
+    * candidates are bounded by the query terms' variant-bucket sizes).
+    */
+  private[graft] def fuzzyCandidateDict(spark: SparkSession, root: String,
+      qterms: Seq[String], maxEdits: Int, cap: Int = 4096): DataFrame = {
+    import spark.implicits._
+    require(maxEdits == 1,
+      s"the persisted variant table covers maxEdits = 1 (got $maxEdits); " +
+        "use the brute dictionary path for larger radii")
+    val m = readManifest(spark, root)
+    require(m.contains("stage.fuzzydict.rows"),
+      s"no fuzzy variant table at $root — run IndexCatalog.buildFuzzy")
+    require(m.getOrElse("fuzzy.base", "") == tableDir(m, "termdict"),
+      s"fuzzy variant table at $root was built against a retired base " +
+        "dictionary generation — re-run IndexCatalog.buildFuzzy")
+    val nb = m("config.nBuckets").toInt
+    val live = termdictDf(spark, root, m)
+
+    val qvars = qterms.flatMap(deletionVariantsDriver).distinct
+    // variant → vbucket via one LOCAL-relation job (xxhash64 must be
+    // Spark's own — never reimplemented driver-side)
+    val vbs = qvars.toDF("variant")
+      .select(bucketOf(col("variant"), nb).as("vb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val probed = spark.read.parquet(s"$root/fuzzydict")
+      .filter(col("vbucket").isin(vbs: _*) && col("variant").isin(qvars: _*))
+      .select(col("term")).distinct()
+      .limit(cap + 1).collect().map(_.getString(0))
+    val lenWindow = qterms.map(t =>
+      length(col("term")).between(t.length - maxEdits, t.length + maxEdits))
+      .reduce(_ || _)
+    if (probed.length > cap) return live.filter(lenWindow) // graceful fallback
+    // delta-dictionary vocabulary (appended after the fuzzy build): tiny
+    // tables, scanned with the length prefilter only — the resolver's
+    // levenshtein verification handles precision
+    val gs = deltaGens(m)
+    val deltaTerms =
+      if (gs.isEmpty) Array.empty[String]
+      else gs.map(g => spark.read.parquet(s"$root/termdict.d$g"))
+        .reduce(_.unionByName(_))
+        .filter(lenWindow).select(col("term")).distinct()
+        .limit(cap + 1).collect().map(_.getString(0))
+    if (deltaTerms.length > cap) return live.filter(lenWindow)
+    val candSet = (probed ++ deltaTerms).distinct.toSeq
+    live.filter(col("term").isin(candSet: _*))
+  }
+
   /** Persisted vacuum (reference `vacuum`): compact postings/docstats by
     * anti-joining tombstones, rewrite termdict, clear tombstones — a new
     * snapshot replacing the old, stage-atomic per table.
@@ -1015,6 +1147,8 @@ object IndexCatalog {
     m = stage(spark, root, "termdict", m) {
       spark.read.parquet(s"$root/postings")
         .groupBy(col("term"), col("bucket")).agg(sum(col("occ")).as("df"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"))
     }
     m = stage(spark, root, "fieldstats", m) {
       val nf = idx.numFields

@@ -130,7 +130,7 @@ object BlockMaxTopK {
   private def prepare(idx: InvertedIndex,
       blocks: Dataset[PostingBlocks.Block], queryString: String,
       model: ScoreModel, fb: Seq[Double], maxCollectedExpansions: Int,
-      tokenizer: String => IndexedSeq[String]): Option[WandPrep] = {
+      tokenizer: String => IndexedSeq[String], maxEdits: Int): Option[WandPrep] = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
     if (fb.exists(_ < 0)) return None
@@ -142,15 +142,30 @@ object BlockMaxTopK {
     // resolve expansions against the dictionary; need them collected to
     // broadcast per-term UB factors into the block metadata scan. SHARED
     // with the exhaustive collected path (QueryEngine.resolveExpansionsCollected
-    // — same collect cap, same tombstone live-df recount, same df>0 drop)
-    // so the two plans cannot drift in expansion/df semantics.
-    val (tuples, ebuckets) =
-      QueryEngine.resolveExpansionsCollected(idx, qterms, maxCollectedExpansions) match {
-        case None => return None          // over cap → exhaustive fallback
-        case Some((rows, _)) if rows.isEmpty => return None // nothing live
-        case Some((rows, buckets)) => (rows, buckets)
-      }
-    val expDf = tuples.toDF("qti", "qterm", "exp_term", "df")
+    // / resolveFuzzyCollected — same collect cap, same tombstone live-df
+    // recount, same df>0 drop) so the two plans cannot drift in
+    // expansion/df semantics. Fuzzy expansions (maxEdits > 0) carry their
+    // `edist` column into expDf; the models' expansionColumns then compute
+    // the edit-distance boost, and the block bound (idf·eboost — or
+    // entscore — times metadata norms) is sound unchanged.
+    val (expDf, expTerms, ebuckets) =
+      if (maxEdits > 0)
+        QueryEngine.resolveFuzzyCollected(idx, qterms, maxEdits,
+          maxCollectedExpansions) match {
+          case None => return None        // over cap → exhaustive fallback
+          case Some((rows, _)) if rows.isEmpty => return None // nothing live
+          case Some((rows, buckets)) =>
+            (rows.toDF("qti", "qterm", "exp_term", "df", "edist"),
+              rows.map(r => r._3), buckets)
+        }
+      else
+        QueryEngine.resolveExpansionsCollected(idx, qterms, maxCollectedExpansions) match {
+          case None => return None        // over cap → exhaustive fallback
+          case Some((rows, _)) if rows.isEmpty => return None // nothing live
+          case Some((rows, buckets)) =>
+            (rows.toDF("qti", "qterm", "exp_term", "df"),
+              rows.map(r => r._3), buckets)
+        }
 
     val stats = idx.fieldStats() // live-recomputed under tombstones
     // per-model precalc + block bound via the SAME column expressions as
@@ -162,7 +177,7 @@ object BlockMaxTopK {
       case Some(c) => c
       case None => return None
     }
-    val eterms = tuples.map(_._3).distinct
+    val eterms = expTerms.distinct
     val blockPred = {
       val tp = col("term").isin(eterms: _*)
       if (blocks.columns.contains("bucket") && ebuckets.nonEmpty &&
@@ -256,13 +271,15 @@ object BlockMaxTopK {
       blockSize: Long = PostingBlocks.DefaultBlockSize, probeBlocks: Int = 8,
       maxCollectedExpansions: Int = 4096, rangesPerGroup: Long = 0,
       bailRatio: Double = 0.9,
-      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      maxEdits: Int = 0): DataFrame = {
     require(k > 0, "block-max path is top-k only")
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
     prepare(idx, blocks, queryString, model, fb, maxCollectedExpansions,
-      tokenizer) match {
+      tokenizer, maxEdits) match {
       case None =>
-        QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer)
+        QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer,
+          maxEdits = maxEdits)
       case Some(p) =>
         val probeIds = probeIdsFor(p, k, probeBlocks)
         val theta = thetaProbe(idx, blocks, p, model, fb, k, blockSize,
@@ -325,10 +342,11 @@ object BlockMaxTopK {
       k: Int = 10, blockSize: Long = PostingBlocks.DefaultBlockSize,
       probeBlocks: Int = 8, maxCollectedExpansions: Int = 4096,
       rangesPerGroup: Long = 0,
-      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): Option[(Long, Long, Double)] = {
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      maxEdits: Int = 0): Option[(Long, Long, Double)] = {
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
     prepare(idx, blocks, queryString, model, fb, maxCollectedExpansions,
-      tokenizer).map { p =>
+      tokenizer, maxEdits).map { p =>
       val theta = thetaProbe(idx, blocks, p, model, fb, k, blockSize,
         probeIdsFor(p, k, probeBlocks), rangesPerGroup)
       if (p.complete)

@@ -52,11 +52,24 @@ object QueryEngine {
     * order (score desc, doc_id asc — the reference harness tiebreak,
     * /root/reference/src/lib.rs:54-58). Pass `limit > 0` for top-k (the
     * reference returns all matches; query.rs:103).
+    *
+    * `maxEdits > 0` switches term expansion from the reference's PREFIX
+    * semantics to FUZZY matching (north_star: "expanded/fuzzy term
+    * matching"): a query term expands to every dictionary term within
+    * `maxEdits` Levenshtein edits. The expansion boost generalizes the
+    * reference's formula along the one axis it already measures: a prefix
+    * expansion is `lenDiff` pure INSERTIONS away from the query term, i.e.
+    * its edit distance — so fuzzy boosts are the same
+    * `ln(1 + 1/(1 + editDistance))` (BM25) / `1 − editDistance/len(exp)`
+    * (zero-to-one) with substitutions and deletions now reachable. The
+    * reference has no fuzzy mode; this is an extension, kept on a separate
+    * parameter so `maxEdits = 0` stays bit-faithful to the prefix goldens.
     */
   def query(idx: InvertedIndex, queryString: String, model: ScoreModel,
       boosts: Seq[Double] = Nil, limit: Int = -1,
       maxCollectedExpansions: Int = 4096,
-      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      maxEdits: Int = 0): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
@@ -69,6 +82,10 @@ object QueryEngine {
     val raw = tokenizer(queryString)
     val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
     if (qterms.isEmpty) return emptyResult(spark)
+
+    if (maxEdits > 0)
+      return queryFuzzy(idx, qterms, raw.length, model, fb, limit,
+        maxCollectedExpansions, maxEdits)
 
     resolveExpansionsCollected(idx, qterms, maxCollectedExpansions) match {
       case Some((rows, buckets)) =>
@@ -98,6 +115,128 @@ object QueryEngine {
           } else exp
         scoreCandidates(idx, cand0, expLive, model, fb, raw.length, limit)
     }
+  }
+
+  /** Fuzzy-expansion query tail: resolve each query term to dictionary
+    * terms within `maxEdits` Levenshtein edits, then score through the
+    * SAME [[scoreCandidates]] tail as the prefix path (the models see the
+    * extra `edist` column and switch their boost to the edit-distance
+    * generalization — see [[query]]).
+    *
+    * Collected path: the expansion set is tiny (a length-window around
+    * each query term intersected with edit-distance ≤ 1–2), so it collects
+    * under the cap and the posting scan gets the same `bucket IN/term IN`
+    * partition-pruning predicates as prefix queries. Over the cap the
+    * non-collected fallback keeps everything as DataFrames: the postings
+    * are SEMI-JOINED against the expansion terms (broadcast-sized by
+    * construction — it is a filtered dictionary) instead of a literal
+    * predicate — no driver round trip.
+    */
+  private def queryFuzzy(idx: InvertedIndex, qterms: Seq[(Int, String)],
+      qlenRaw: Int, model: ScoreModel, fb: Seq[Double], limit: Int,
+      cap: Int, maxEdits: Int, dict: Option[DataFrame] = None): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    resolveFuzzyCollected(idx, qterms, maxEdits, cap, dict) match {
+      case Some((rows, buckets)) =>
+        if (rows.isEmpty) return emptyResult(spark)
+        val cand0 = idx.livePostings
+          .filter(candidatePredicate(idx, rows.map(_._3).distinct, buckets))
+        val expDf = rows.toDF("qti", "qterm", "exp_term", "df", "edist")
+        scoreCandidates(idx, cand0, expDf, model, fb, qlenRaw, limit)
+      case None =>
+        // over the collect cap: DataFrame-only plan (the fuzzy analog of
+        // the prefix path's startsWith-scan fallback)
+        val qdf = qterms.toSeq.toDF("qti", "qterm")
+        val exp = idx.termdict.filter(fuzzyLenWindow(qterms, maxEdits))
+          .join(broadcast(qdf),
+            levenshtein(col("term"), col("qterm")) <= maxEdits)
+          .select(col("qti"), col("qterm"), col("term").as("exp_term"),
+            col("df").cast("long").as("df"),
+            levenshtein(col("term"), col("qterm")).as("edist"))
+        val cand0 = idx.livePostings.join(
+          exp.select(col("exp_term")).distinct(),
+          col("term") === col("exp_term"), "left_semi")
+        val expLive =
+          if (idx.hasTombstones) {
+            val liveDf = cand0.groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
+            exp.drop("df").join(liveDf, col("exp_term") === col("term"))
+              .select(col("qti"), col("qterm"), col("exp_term"),
+                col("ldf").as("df"), col("edist"))
+          } else exp
+        scoreCandidates(idx, cand0, expLive, model, fb, qlenRaw, limit)
+    }
+  }
+
+  /** Fuzzy query served from a PERSISTED index with a deletion-variant
+    * table ([[graft.index.IndexCatalog.buildFuzzy]]): candidate terms come
+    * from `O(len(queryTerm))` partition-pruned point lookups against
+    * `fuzzydict/` instead of a `levenshtein` pass over the whole vocabulary
+    * — the 10^9-term-scale path. Scoring is the SAME tail as
+    * [[query]]`(maxEdits = 1)` (FuzzySpec pins result equality); `idx` must
+    * be the opened index at `root`.
+    */
+  def queryFuzzyPersisted(idx: InvertedIndex, root: String,
+      queryString: String, model: ScoreModel, boosts: Seq[Double] = Nil,
+      limit: Int = -1, maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+    val spark = idx.postings.sparkSession
+    val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
+    require(fb.size == idx.numFields, "one boost per field")
+    val raw = tokenizer(queryString)
+    val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
+    if (qterms.isEmpty) return emptyResult(spark)
+    val dict = graft.index.IndexCatalog.fuzzyCandidateDict(
+      spark, root, qterms.map(_._2), maxEdits = 1)
+    queryFuzzy(idx, qterms, raw.length, model, fb, limit,
+      maxCollectedExpansions, maxEdits = 1, dict = Some(dict))
+  }
+
+  /** Cheap dictionary prefilter for fuzzy resolution: only terms whose
+    * CHARACTER length sits within `maxEdits` of some query term's can be
+    * within `maxEdits` edits of it. Keeps the dictionary scan from running
+    * `levenshtein` against every row.
+    */
+  private def fuzzyLenWindow(qterms: Seq[(Int, String)], maxEdits: Int): Column =
+    qterms.map { case (_, t) =>
+      length(col("term")).between(t.length - maxEdits, t.length + maxEdits)
+    }.reduce(_ || _)
+
+  /** Fuzzy analog of [[resolveExpansionsCollected]]: rows are
+    * `(qti, qterm, exp_term, LIVE df, editDistance)`. Same collect cap,
+    * same tombstone live-df recount, same df>0 drop — shared with
+    * [[BlockMaxTopK]] so the WAND and exhaustive fuzzy plans cannot drift.
+    */
+  private[graft] def resolveFuzzyCollected(idx: InvertedIndex,
+      qterms: Seq[(Int, String)], maxEdits: Int, cap: Int,
+      dict: Option[DataFrame] = None): Option[(Seq[(Int, String, String, Long, Int)], Seq[Int])] = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val qdf = qterms.toSeq.toDF("qti", "qterm")
+    val d0 = dict.getOrElse(idx.termdict)
+    val bucketCol = if (d0.columns.contains("bucket")) col("bucket") else lit(-1)
+    val collected = d0.filter(fuzzyLenWindow(qterms, maxEdits))
+      .join(broadcast(qdf), levenshtein(col("term"), col("qterm")) <= maxEdits)
+      .select(col("qti"), col("qterm"), col("term").as("exp_term"),
+        col("df").cast("long").as("df"), bucketCol.cast("int").as("bucket"),
+        levenshtein(col("term"), col("qterm")).as("edist"))
+      .limit(cap + 1).collect()
+    if (collected.length > cap) return None
+    var rows = collected.toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getInt(5)))
+    val buckets = collected.map(_.getInt(4)).distinct.toSeq
+    if (idx.hasTombstones && rows.nonEmpty) {
+      val eterms = rows.map(_._3).distinct
+      val liveDf = idx.livePostings
+        .filter(candidatePredicate(idx, eterms, buckets))
+        .groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows = rows.flatMap { case (qti, qterm, eterm, _, ed) =>
+        liveDf.get(eterm).map(d => (qti, qterm, eterm, d, ed))
+      }
+    }
+    Some((rows, buckets))
   }
 
   /** Posting-scan predicate for a resolved expansion set: `term IN (…)`,

@@ -46,10 +46,24 @@ final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends ScoreModel {
     val n = stats.n
     val f = least(lit(n), col("df"))
     val idf = log(lit(1.0) + ((lit(n) - f).cast("double") + lit(0.5)) / (f.cast("double") + lit(0.5)))
-    val eboost = when(col("exp_term") === col("qterm"), lit(1.0)).otherwise(
-      log(lit(1.0) + lit(1.0) /
-        (lit(1.0) + Analyzer.byteLen(col("exp_term")).cast("double")
-          - Analyzer.byteLen(col("qterm")).cast("double"))))
+    // FUZZY expansions (an `edist` column resolved by
+    // graft.query.QueryEngine) generalize the reference boost along the
+    // axis it already measures: a prefix expansion is exactly
+    // `len(exp) − len(term)` INSERTIONS from the query term — its edit
+    // distance — so `ln(1 + 1/(1 + editDistance))` reduces to the formula
+    // below on every prefix pair while staying finite for substitutions
+    // and deletions (where the byte-length difference can be 0 or < 0 and
+    // the reference formula would blow up). Prefix queries never carry the
+    // column, so their boosts stay bit-faithful to bm25.rs:44-55.
+    val eboost =
+      if (exp.columns.contains("edist"))
+        when(col("edist") === 0, lit(1.0)).otherwise(
+          log(lit(1.0) + lit(1.0) / (lit(1.0) + col("edist").cast("double"))))
+      else
+        when(col("exp_term") === col("qterm"), lit(1.0)).otherwise(
+          log(lit(1.0) + lit(1.0) /
+            (lit(1.0) + Analyzer.byteLen(col("exp_term")).cast("double")
+              - Analyzer.byteLen(col("qterm")).cast("double"))))
     exp.withColumn("idf", idf).withColumn("eboost", eboost)
   }
 

@@ -44,10 +44,19 @@ final case class ZeroToOne() extends ScoreModel {
   override def expansionColumns(exp: DataFrame, stats: FieldStats): DataFrame = {
     // 1 − |len(exp) − len(term)| / len(exp), UTF-8 byte lengths
     // (zero_to_one.rs:57-58,72). Always > 0 because expansion ⇒ prefix ⇒
-    // len(exp) ≥ len(term).
+    // len(exp) ≥ len(term). FUZZY expansions (an `edist` column, see
+    // graft.query.QueryEngine.query) use 1 − editDistance/len(exp) — equal
+    // on prefix pairs (where editDistance = the byte-length difference)
+    // and well-defined for substitutions/deletions; can reach 0 for an
+    // expansion as short as its distance, which contributes 0 (inert in
+    // the greedy pass).
     val le = Analyzer.byteLen(col("exp_term")).cast("double")
     val lt = Analyzer.byteLen(col("qterm")).cast("double")
-    exp.withColumn("entscore", lit(1.0) - abs(le - lt) / le)
+    val entscore =
+      if (exp.columns.contains("edist"))
+        lit(1.0) - col("edist").cast("double") / le
+      else lit(1.0) - abs(le - lt) / le
+    exp.withColumn("entscore", entscore)
   }
 
   /** Per-expansion block bound for the greedy finalize: one consumed entry
