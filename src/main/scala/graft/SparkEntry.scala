@@ -67,6 +67,20 @@ object IndexCache {
         spark.read.parquet(s"$dir/documents.parquet"), "doc_id", Seq("text"), root)
     })
 
+  /** The persisted gate index plus its fuzzy deletion-variant table
+    * ([[graft.index.IndexCatalog.buildFuzzy]]) — q49 resolves Levenshtein-1
+    * expansions through partition-pruned variant point lookups, the
+    * 10^9-term-scale path, NOT a dictionary levenshtein scan.
+    */
+  private val fuzzyCache = TrieMap.empty[String, (InvertedIndex, String)]
+  def documentsFuzzyPersisted(spark: SparkSession, dir: String): (InvertedIndex, String) =
+    fuzzyCache.getOrElseUpdate(dir, {
+      documentsPersisted(spark, dir) // ensure the base index exists
+      val root = s"/tmp/graft_gate_idx_${sanitize(dir)}"
+      graft.index.IndexCatalog.buildFuzzy(spark, root)
+      (graft.index.IndexCatalog.read(spark, root), root)
+    })
+
   /** Persisted index built on a doc SUBSET then extended by the
     * crash-safe incremental-append protocol with the remainder — the
     * append must be invisible (oracle = full-corpus BM25).
@@ -292,9 +306,22 @@ object SparkEntry {
     */
   private def bm25Sql(qterms: Seq[String], filter: String,
       finalOrder: String = "ORDER BY doc_id",
-      toksCte: String = ToksCte): String = {
+      toksCte: String = ToksCte, fuzzy: Boolean = false): String = {
     val qvals = qterms.zipWithIndex
       .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+    // fuzzy mode (q49): Levenshtein-1 expansion instead of prefix, and the
+    // edit-distance boost generalization (equal to the prefix formula on
+    // prefix pairs — see graft.score.BM25 scaladoc)
+    val expJoin =
+      if (fuzzy) "levenshtein(tdf.term, qt.qterm) <= 1"
+      else "tdf.term LIKE qt.qterm || '%'"
+    val boostExpr =
+      if (fuzzy)
+        """CASE WHEN e.eterm = e.qterm THEN 1.0
+          |       ELSE ln(1 + 1.0 / (1.0 + levenshtein(e.eterm, e.qterm))) END""".stripMargin
+      else
+        """CASE WHEN e.eterm = e.qterm THEN 1.0
+          |       ELSE ln(1 + 1.0 / (1.0 + strlen(e.eterm) - strlen(e.qterm))) END""".stripMargin
     s"""WITH docs AS (SELECT doc_id, text FROM documents $filter),
        |$toksCte,
        |doclen AS (
@@ -306,11 +333,10 @@ object SparkEntry {
        |tdf AS (SELECT term, sum(tf) AS df FROM post GROUP BY term),
        |qt AS (SELECT * FROM (VALUES $qvals) AS t(qti, qterm)),
        |exp AS (SELECT qt.qti, qt.qterm, tdf.term AS eterm, tdf.df
-       |        FROM qt JOIN tdf ON tdf.term LIKE qt.qterm || '%'),
+       |        FROM qt JOIN tdf ON $expJoin),
        |esc AS (SELECT e.qti, e.eterm,
        |  ln(1 + ((st.n - least(st.n, e.df)) + 0.5) / (least(st.n, e.df) + 0.5)) AS idf,
-       |  CASE WHEN e.eterm = e.qterm THEN 1.0
-       |       ELSE ln(1 + 1.0 / (1.0 + strlen(e.eterm) - strlen(e.qterm))) END AS boost
+       |  $boostExpr AS boost
        |  FROM exp e, stats st),
        |sc AS (SELECT p.doc_id, s.qti,
        |  max(((1.2 + 1.0) * p.tf) /
@@ -660,6 +686,38 @@ object SparkEntry {
       TextStats.redactPii(
         docs(s, dir).select(col("doc_id"), salted.as("text")),
         "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // north_star "expanded/FUZZY term matching": BM25 with Levenshtein-1
+    // expansion, served from the PERSISTED deletion-variant table
+    // (IndexCatalog.buildFuzzy — O(len(q)) partition-pruned point lookups,
+    // never a vocabulary levenshtein scan). "sart" expands to {sort, part}
+    // (one substitution each — unreachable by prefix semantics), "scan" to
+    // itself (exact ⇒ boost 1), "kay" to {key}. The oracle recomputes the
+    // expansion with DuckDB's levenshtein and the same edit-distance boost,
+    // so a candidate lost by the variant probe OR a boost drift breaks the
+    // hash.
+    "q49_bm25_fuzzy" -> ((s, dir) => {
+      val (idx, root) = IndexCache.documentsFuzzyPersisted(s, dir)
+      QueryEngine.queryFuzzyPersisted(idx, root, "sart scan kay", BM25())
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: benchmark decontamination (GPT-3/Pile-style n-gram
+    // overlap). The "benchmark set" is the deterministic doc_id % 37 = 0
+    // slice of the corpus itself, so every doc in that slice is 100%
+    // contaminated and the rest carry a real varying overlap signal
+    // (shared 3-shingles of a 31-term vocabulary). The oracle recomputes
+    // both shingle sets and the overlap with an independent unnest+join
+    // plan.
+    "q50_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(d, "doc_id", "text",
+        d.filter(col("doc_id") % 37 === 0), "text")
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          micro(col("contam_frac")).as("contam_micro"))
+        .orderBy("doc_id")
     }),
 
     // pipeline: multimodal decode — REAL header parsing end-to-end: the
@@ -1401,6 +1459,30 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text_clean
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q49_bm25_fuzzy" ->
+      bm25Sql(Seq("sart", "scan", "kay"), "", fuzzy = true),
+
+    // decontamination: the same ShinglesCte as the minhash oracles (q11 —
+    // proven to mirror Portable.tokens/shinglesOfTokens), benchmark set =
+    // the doc_id % 37 = 0 slice, overlap via join + per-doc counts;
+    // fraction computed ratio-first then micro'd like the Spark side
+    "q50_decontaminate" ->
+      s"""WITH $ShinglesCte,
+         |bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |con AS (SELECT s.doc_id, count(*) AS n_contaminated
+         |        FROM sh s JOIN bs USING (shingle) GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  CASE WHEN COALESCE(t.n_shingles, 0) > 0
+         |       THEN CAST(round(COALESCE(c.n_contaminated, 0) * 1.0 / t.n_shingles * 1000000.0) AS BIGINT)
+         |       ELSE 0 END AS contam_micro
+         |FROM documents d
+         |LEFT JOIN tot t ON d.doc_id = t.doc_id
+         |LEFT JOIN con c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q26_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,

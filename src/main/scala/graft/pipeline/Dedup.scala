@@ -129,6 +129,39 @@ object Dedup {
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** Benchmark DECONTAMINATION — the training-pipeline operator that flags
+    * corpus documents overlapping an evaluation/benchmark set (the
+    * GPT-3/Pile-style n-gram overlap check, k parametrized): for every
+    * corpus doc, how many of its DISTINCT k-token shingles appear anywhere
+    * in the benchmark corpus, plus the contaminated fraction. Docs with
+    * fewer than k tokens have no shingles and report (0, 0, 0.0).
+    *
+    * Scale shape: the benchmark set is tiny next to a 100-TB training
+    * corpus, so its distinct shingle set BROADCASTS; the corpus side is
+    * one shingle explode + broadcast left-semi join + per-doc count — the
+    * only corpus-data shuffle is the partial-aggregated per-doc count.
+    * (For a benchmark set too large to broadcast, drop to the same
+    * bucketed equi-join [[jaccardPairs]] uses; the per-doc aggregation is
+    * unchanged.)
+    */
+  def contamination(docs: DataFrame, id: String, text: String,
+      bench: DataFrame, benchText: String, k: Int = 3): DataFrame = {
+    val ds = docShingles(docs, id, text, k)
+    val bs = docShingles(bench.select(lit(0L).as("_bid"), col(benchText)),
+      "_bid", benchText, k).select(col("shingle")).distinct()
+    val total = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val contam = ds.join(broadcast(bs), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    docs.select(col(id).cast("long").as("doc_id"))
+      .join(total, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_contaminated"))
+      .withColumn("contam_frac",
+        when(col("n_shingles") > 0,
+          col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** MinHash signatures: (doc_id, h, minhash) for h in 0 until numHashes,
     * minhash = min over the doc's distinct shingles of hash_h(shingle).
     * Docs with no shingles get no signature rows.

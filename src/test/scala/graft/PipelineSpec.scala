@@ -241,6 +241,25 @@ class PipelineSpec extends TestBase {
     assert(out(4L)._3 == want && math.abs(out(4L)._4 - want / 499.0) < 1e-12)
   }
 
+  test("decontamination: overlap counts against a benchmark set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e"),      // shingles: abc, bcd, cde
+      (1L, "c d e f"),        // cde, def → 1 of 2 contaminated (cde)
+      (2L, "x y z w"),        // xyz, yzw → clean
+      (3L, "a b")             // no shingles (< 3 tokens)
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("bid", "text") // abc, bcd, cde
+    val got = Dedup.contamination(corpus, "doc_id", "text", bench, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 3L, 1.0),
+      (1L, 2L, 1L, 0.5),
+      (2L, 2L, 0L, 0.0),
+      (3L, 0L, 0L, 0.0)))
+  }
+
   test("multimodal decode: real header round-trip, determinism, batch plumbing") {
     val media = Multimodal.syntheticMedia(docsWithDups, "doc_id", "text")
     val a = Multimodal.decodeFeatures(media, "doc_id", "media").collect()
