@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{IndexBuilder, InvertedIndex, Mutations}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Dedup, Multimodal, Packing, Sampling, Similarity, TextStats}
 import graft.query.QueryEngine
 import graft.score.{BM25, ZeroToOne}
 
@@ -282,6 +282,12 @@ object SparkEntry {
 
   private def micro(c: org.apache.spark.sql.Column) =
     round(c * lit(1e6)).cast("long")
+
+  /** q51's per-stratum mixing rates (source srcK → K/20): defined once so
+    * the Spark filter and the generated oracle CASE can never drift.
+    */
+  private val SampleRates: Map[String, Double] =
+    (0 until 20).map(k => s"src$k" -> k / 20.0).toMap
 
   /** Flagship: BM25 top-10 over the sf0.001 documents corpus. */
   def entry(spark: SparkSession): DataFrame = {
@@ -719,6 +725,31 @@ object SparkEntry {
           micro(col("contam_frac")).as("contam_micro"))
         .orderBy("doc_id")
     }),
+
+    // pipeline: deterministic stratified sampling for data mixing — keep
+    // iff the first 60 bits of md5('mix:'||doc_id) fall under the
+    // stratum's rate threshold (source srcK sampled at K/20). A pure
+    // map-side codegen'd filter; the oracle recomputes the identical
+    // draw+threshold, so ANY divergence in the kept set (the property
+    // that makes the mixture reproducible) breaks the hash.
+    "q51_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "source",
+        SampleRates)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
+
+    // pipeline: greedy sequence packing into 64-token context windows,
+    // one pack stream per source shard. The oracle replays the identical
+    // first-fit walk as a recursive CTE (an independent sequential
+    // formulation), so any divergence in pack boundaries, positions, or
+    // the oversize flag breaks the hash. Budget 64 sits inside the
+    // corpus's 10–99 token range, exercising BOTH branches: multi-doc
+    // packs and oversize single-doc packs.
+    "q52_seq_packing" -> ((s, dir) =>
+      Packing.packGreedy(docs(s, dir), "doc_id", "text", "source", budget = 64)
+        .select(col("shard"), col("doc_id"), col("n_tokens").cast("long"),
+          col("pack_id"), col("pack_pos"),
+          col("oversize").cast("int").cast("long").as("oversize"))
+        .orderBy("shard", "doc_id")),
 
     // pipeline: multimodal decode — REAL header parsing end-to-end: the
     // corpus text is encoded into genuine PNG / header-accurate JPEG blobs
@@ -1483,6 +1514,45 @@ object SparkEntry {
          |LEFT JOIN tot t ON d.doc_id = t.doc_id
          |LEFT JOIN con c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // stratified sampling: thresholds generated from the SAME SampleRates
+    // map + Sampling.threshold the engine filters with (60-bit md5 draw)
+    "q51_stratified_sample" -> {
+      val cases = SampleRates.toSeq.sortBy(_._1).map { case (k, r) =>
+        s"WHEN '$k' THEN ${graft.pipeline.Sampling.threshold(r)}"
+      }.mkString(" ")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |  < CASE source $cases ELSE 0 END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // sequence packing: the same greedy first-fit walk expressed as a
+    // recursive CTE stepping row-rank within each shard — an independent
+    // sequential formulation of the fold the engine runs per group
+    "q52_seq_packing" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT source AS shard, doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT shard, doc_id, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS pack_id, CAST(1 AS BIGINT) AS pack_pos,
+        |    CAST(n_tokens AS BIGINT) AS fill
+        |  FROM toks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.doc_id, t.n_tokens, t.rn,
+        |    CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > 64
+        |         THEN p.pack_id + 1 ELSE p.pack_id END,
+        |    CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > 64
+        |         THEN 1 ELSE p.pack_pos + 1 END,
+        |    CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > 64
+        |         THEN CAST(t.n_tokens AS BIGINT) ELSE p.fill + t.n_tokens END
+        |  FROM packed p JOIN toks t ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, pack_id,
+        |  pack_pos, CAST(CASE WHEN n_tokens > 64 THEN 1 ELSE 0 END AS BIGINT) AS oversize
+        |FROM packed ORDER BY shard, doc_id""".stripMargin,
 
     "q26_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
