@@ -312,7 +312,8 @@ object SparkEntry {
     */
   private def bm25Sql(qterms: Seq[String], filter: String,
       finalOrder: String = "ORDER BY doc_id",
-      toksCte: String = ToksCte, fuzzy: Boolean = false): String = {
+      toksCte: String = ToksCte, fuzzy: Boolean = false,
+      docWhere: String = "", conjunctive: Boolean = false): String = {
     val qvals = qterms.zipWithIndex
       .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
     // fuzzy mode (q49): Levenshtein-1 expansion instead of prefix, and the
@@ -350,9 +351,17 @@ object SparkEntry {
        |      * s.idf * s.boost) AS mts
        |  FROM post p JOIN esc s ON p.term = s.eterm
        |  JOIN doclen d ON d.doc_id = p.doc_id, stats st
-       |  GROUP BY p.doc_id, s.qti)
+       |  GROUP BY p.doc_id, s.qti)${if (!conjunctive) ""
+         else s""",
+           |conj AS (SELECT p.doc_id FROM post p JOIN exp e ON p.term = e.eterm
+           |        GROUP BY p.doc_id HAVING count(DISTINCT e.qti) = ${qterms.length})""".stripMargin
+       }
        |SELECT doc_id, CAST(round(sum(mts) * 1000000.0) AS BIGINT) AS score_micro
-       |FROM sc GROUP BY doc_id $finalOrder""".stripMargin
+       |FROM sc ${if (docWhere.nonEmpty)
+           s"WHERE doc_id IN (SELECT doc_id FROM documents $docWhere) "
+         else if (conjunctive) "WHERE doc_id IN (SELECT doc_id FROM conj) "
+         else ""
+       }GROUP BY doc_id $finalOrder""".stripMargin
   }
 
   private val ShinglesCte =
@@ -395,12 +404,14 @@ object SparkEntry {
        |SELECT doc_id, CAST(round(sum(c) * 1000000.0) AS BIGINT) AS score_micro
        |FROM contrib GROUP BY doc_id $finalOrder""".stripMargin
 
-  /** Shared oracle for q22 (index-free ANN) and q36 (persisted VectorIndex):
+  /** Shared oracle for q22 (index-free ANN), q36 (persisted VectorIndex),
+    * and q54 (filtered ANN — `candPred` restricts the candidate set with a
+    * metadata predicate, exactly where the engine semi-joins its filter):
     * sign-LSH buckets (the q16 math), the 1-bit multiprobe set, exact
     * cosine on candidates, tie-stable micro-unit top-20.
     */
-  private val AnnLshTopKSql: String =
-    """WITH hp AS (SELECT gb.b AS b, gi.i AS i,
+  private def annLshTopKSql(candPred: String = ""): String =
+    s"""WITH hp AS (SELECT gb.b AS b, gi.i AS i,
       |    CASE WHEN (CAST(('0x' || substr(md5('hp:' || CAST(gb.b AS VARCHAR) || ':' || CAST(gi.i AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END AS s
       |  FROM generate_series(0, 7) gb(b), generate_series(0, 63) gi(i)),
       |proj AS (SELECT e.vec_id, hp.b, sum(CAST(e.embedding[hp.i + 1] AS DOUBLE) * hp.s) AS p
@@ -408,7 +419,8 @@ object SparkEntry {
       |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id),
       |qb AS (SELECT bucket AS qbkt FROM bkt WHERE vec_id = 0),
       |probes AS (SELECT qbkt AS pb FROM qb UNION ALL SELECT xor(qbkt, (1::BIGINT << g.b)) FROM qb, generate_series(0, 7) g(b)),
-      |cand AS (SELECT vec_id FROM bkt WHERE bucket IN (SELECT pb FROM probes)),
+      |cand AS (SELECT b.vec_id FROM bkt b JOIN embeddings em ON em.vec_id = b.vec_id
+      |         WHERE b.bucket IN (SELECT pb FROM probes)$candPred),
       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
       |parts AS (SELECT e.vec_id,
       |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dot,
@@ -750,6 +762,62 @@ object SparkEntry {
           col("pack_id"), col("pack_pos"),
           col("oversize").cast("int").cast("long").as("oversize"))
         .orderBy("shard", "doc_id")),
+
+    // FILTERED SEARCH (predicate + top-k, the facet production shape):
+    // BM25 with corpus-level stats, results restricted to three sources
+    // via a docFilter semi-join applied before scoring — through the WAND
+    // block path, so the θ-probe must seed from allowed docs only (a θ
+    // from a disallowed doc could over-prune; this gate would catch it).
+    // Oracle = full-corpus BM25 SQL with the identical doc_id IN restriction.
+    "q53_bm25_filtered" -> ((s, dir) => {
+      val allowed = docs(s, dir)
+        .filter(col("source").isin("src1", "src3", "src5"))
+        .select(col("doc_id"))
+      val idx = IndexCache.documents(s, dir)
+      graft.query.BlockMaxTopK.query(idx, IndexCache.blocks(s, dir),
+        "spar merge", BM25(), k = 200, blockSize = IndexCache.BlockSize,
+        docFilter = Some(allowed))
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // CONJUNCTIVE (AND) matching — the reference is disjunction-only; AND
+    // is realized as filtered search with a derived filter (docs matching
+    // ≥1 expansion of EVERY query term), composed through the WAND block
+    // path. The oracle recomputes the same match-all set with a HAVING
+    // count(DISTINCT qti) clause, so a doc matching only "spar" or only
+    // "merge" appearing in the result breaks rows, and any scoring drift
+    // breaks the hash.
+    "q55_bm25_conjunctive" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val matchAll = QueryEngine.conjunctiveFilter(idx, "spar merge")
+      graft.query.BlockMaxTopK.query(idx, IndexCache.blocks(s, dir),
+        "spar merge", BM25(), k = 200, blockSize = IndexCache.BlockSize,
+        docFilter = Some(matchAll))
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // FILTERED ANN over the persisted vector index: candidates are
+    // partition-pruned to the probe buckets FIRST, then semi-joined with
+    // the allowed set (odd labels) — the oracle applies the identical
+    // label predicate at the same point, so a filter applied too early
+    // (changing the probe set) or too late (after the top-k cut) breaks
+    // the hash.
+    "q54_ann_filtered" -> ((s, dir) => {
+      val root = IndexCache.vectorsPersisted(s, dir)
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val allowed = e.filter(col("label") % 2 === 1).select(col("vec_id"))
+      graft.index.VectorIndex.probeCandidates(s, root, q,
+        filter = Some(allowed))
+        .select(col("vec_id"), micro(col("cos")).as("cos_micro"))
+        .orderBy(col("cos_micro").desc, col("vec_id").asc)
+        .limit(20)
+    }),
 
     // pipeline: multimodal decode — REAL header parsing end-to-end: the
     // corpus text is encoded into genuine PNG / header-accurate JPEG blobs
@@ -1219,12 +1287,12 @@ object SparkEntry {
     // persisted ANN index: the STORED assignment is the same hash family
     // and multiprobe set as q22's index-free path, so the identical SQL is
     // the oracle (vec_id column name shared by both query shapes)
-    "q36_ann_persisted" -> AnnLshTopKSql,
+    "q36_ann_persisted" -> annLshTopKSql(),
 
     // same sign-LSH bucket math as q16 (proven hash-identical), the same
     // 1-bit multiprobe set as Similarity.lshProbeCandidates, exact cosine
     // (same shape as q15), tie-stable micro-unit top-20
-    "q22_ann_lsh" -> AnnLshTopKSql,
+    "q22_ann_lsh" -> annLshTopKSql(),
     "q44_ann_ivf" -> AnnIvfTopKSql,
     "q45_ann_ivf_persisted" -> AnnIvfTopKSql,
     "q46_ann_ivf_streamed" -> AnnIvfStreamedSql,
@@ -1553,6 +1621,24 @@ object SparkEntry {
         |SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, pack_id,
         |  pack_pos, CAST(CASE WHEN n_tokens > 64 THEN 1 ELSE 0 END AS BIGINT) AS oversize
         |FROM packed ORDER BY shard, doc_id""".stripMargin,
+
+    // filtered search: the same lossless-WAND top-k oracle as q24, with
+    // the doc set restricted by the identical source predicate (corpus-
+    // level stats — per-doc scores match the unfiltered query's)
+    "q53_bm25_filtered" -> bm25Sql(Seq("spar", "merge"), "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20",
+      docWhere = "WHERE source IN ('src1', 'src3', 'src5')"),
+
+    // filtered ANN: the q36 oracle with the label predicate applied to the
+    // candidate set (post-probe, pre-top-k — the engine's semi-join point)
+    "q54_ann_filtered" -> annLshTopKSql(" AND (em.label % 2) = 1"),
+
+    // conjunctive: q24's lossless-WAND oracle restricted to docs matching
+    // every query term (HAVING count(DISTINCT qti) = 2 over the same
+    // expansion join the scoring pipeline uses)
+    "q55_bm25_conjunctive" -> bm25Sql(Seq("spar", "merge"), "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20",
+      conjunctive = true),
 
     "q26_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,

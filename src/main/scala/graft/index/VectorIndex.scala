@@ -123,22 +123,38 @@ object VectorIndex {
     * vs the query — a partition-pruned scan (`bucket IN probes` is a hive
     * partition predicate, so only probe-bucket files are read; asserted by
     * VectorIndexSpec).
+    *
+    * `filter` (FILTERED ANN — "nearest neighbors within a subset", the
+    * facet+vector-search production shape): a one-column `vec_id` set of
+    * allowed vectors, semi-joined against the candidates AFTER partition
+    * pruning (the big side is already cut to the probe buckets; AQE
+    * broadcasts a small filter set). POST-filtering, so recall against the
+    * filtered ground truth degrades as the filter gets more selective
+    * (candidates drop out, nothing replaces them) — raise `maxHamming` to
+    * compensate, or for extreme selectivity brute-force the filtered
+    * subset instead ([[graft.pipeline.Similarity.cosineTopK]] on the
+    * pre-filtered frame).
     */
   def probeCandidates(spark: SparkSession, root: String,
-      query: Seq[Float], maxHamming: Int = 1): DataFrame = {
+      query: Seq[Float], maxHamming: Int = 1,
+      filter: Option[DataFrame] = None): DataFrame = {
     val probes = probeSet(spark, root, query, maxHamming)
     val q = array(query.map(v => lit(v)): _*)
-    read(spark, root)
-      .filter(col("bucket").isin(probes: _*))
-      .select(col("vec_id"), Similarity.cosine(col("v"), q).as("cos"))
+    val cand = read(spark, root).filter(col("bucket").isin(probes: _*))
+    val kept = filter.fold(cand) { f =>
+      require(f.columns.contains("vec_id"), "filter needs a vec_id column")
+      cand.join(f.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    }
+    kept.select(col("vec_id"), Similarity.cosine(col("v"), q).as("cos"))
   }
 
   /** Approximate cosine top-k over the persisted index. `maxHamming` trades
-    * buckets probed for recall (see BENCH.md recall table).
+    * buckets probed for recall (see BENCH.md recall table); `filter`
+    * restricts results to an allowed `vec_id` set (see [[probeCandidates]]).
     */
   def annTopK(spark: SparkSession, root: String, query: Seq[Float],
-      k: Int, maxHamming: Int = 1): DataFrame =
-    probeCandidates(spark, root, query, maxHamming)
+      k: Int, maxHamming: Int = 1, filter: Option[DataFrame] = None): DataFrame =
+    probeCandidates(spark, root, query, maxHamming, filter)
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
 }

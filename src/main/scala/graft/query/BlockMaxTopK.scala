@@ -244,14 +244,17 @@ object BlockMaxTopK {
   private def thetaProbe(idx: InvertedIndex,
       blocks: Dataset[PostingBlocks.Block], p: WandPrep, model: ScoreModel,
       fb: Seq[Double], k: Int, blockSize: Long, probeIds: Seq[Long],
-      rangesPerGroup: Long): Double = {
+      rangesPerGroup: Long, docFilter: Option[DataFrame] = None): Double = {
     val probeCand = liveCand(idx, PostingBlocks.toPostings(
       blocks.toDF().filter(p.blockPred &&
         rgPredicate(blocks, probeIds, rangesPerGroup) &&
         col("block_id").isin(probeIds: _*)),
       idx.numFields, blockSize))
+    // docFilter applies INSIDE scoreCandidates: under filtered search θ is
+    // the k-th best score among ALLOWED docs — a true attainable score, so
+    // pruning stays sound (block UBs over all docs dominate any subset)
     val probed = QueryEngine.scoreCandidates(
-      idx, probeCand, p.expDf, model, fb, p.raw.length, k).collect()
+      idx, probeCand, p.expDf, model, fb, p.raw.length, k, docFilter).collect()
     if (probed.length >= k) probed(k - 1).getDouble(1) else Double.NegativeInfinity
   }
 
@@ -265,6 +268,11 @@ object BlockMaxTopK {
     * @param bailRatio  survivors/ranges at or above which the block path
     *                   is abandoned for the exhaustive plan (identical
     *                   scores, none of the block overhead)
+    * @param docFilter  allowed-`doc_id` set for FILTERED search (see
+    *                   [[QueryEngine.scoreCandidates]]): the θ-probe,
+    *                   survivor decode, and every fallback all score only
+    *                   allowed docs; corpus-level stats keep per-doc scores
+    *                   identical to the unfiltered query's
     */
   def query(idx: InvertedIndex, blocks: Dataset[PostingBlocks.Block],
       queryString: String, model: ScoreModel, boosts: Seq[Double] = Nil, k: Int = 10,
@@ -272,18 +280,18 @@ object BlockMaxTopK {
       maxCollectedExpansions: Int = 4096, rangesPerGroup: Long = 0,
       bailRatio: Double = 0.9,
       tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
-      maxEdits: Int = 0): DataFrame = {
+      maxEdits: Int = 0, docFilter: Option[DataFrame] = None): DataFrame = {
     require(k > 0, "block-max path is top-k only")
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
     prepare(idx, blocks, queryString, model, fb, maxCollectedExpansions,
       tokenizer, maxEdits) match {
       case None =>
         QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer,
-          maxEdits = maxEdits)
+          maxEdits = maxEdits, docFilter = docFilter)
       case Some(p) =>
         val probeIds = probeIdsFor(p, k, probeBlocks)
         val theta = thetaProbe(idx, blocks, p, model, fb, k, blockSize,
-          probeIds, rangesPerGroup)
+          probeIds, rangesPerGroup, docFilter)
         // cost-based exit (see scaladoc phase 2): an unseedable θ prunes
         // nothing anywhere; a survivor set ≈ all ranges (checkable when
         // the UB table is driver-complete) prunes too little to repay the
@@ -294,7 +302,7 @@ object BlockMaxTopK {
         def exhaustive() = QueryEngine.scoreCandidates(idx,
           idx.livePostings.filter(
             QueryEngine.candidatePredicate(idx, p.eterms, p.ebuckets)),
-          p.expDf, model, fb, p.raw.length, k)
+          p.expDf, model, fb, p.raw.length, k, docFilter)
         if (theta.isNegInfinity) exhaustive()
         else if (p.complete) {
           val surv = p.topRanges.collect { case (id, ub, _) if ub >= theta => id }.toSeq
@@ -310,7 +318,7 @@ object BlockMaxTopK {
             val cand = liveCand(idx,
               PostingBlocks.toPostings(survBlocks, idx.numFields, blockSize))
             QueryEngine.scoreCandidates(idx, cand, p.expDf, model, fb,
-              p.raw.length, k)
+              p.raw.length, k, docFilter)
           }
         } else {
           val survivors = p.rangeUb.filter(col("ub") >= theta).select("block_id")
@@ -323,7 +331,7 @@ object BlockMaxTopK {
           val cand = liveCand(idx,
             PostingBlocks.toPostings(survBlocks, idx.numFields, blockSize))
           QueryEngine.scoreCandidates(idx, cand, p.expDf, model, fb,
-            p.raw.length, k)
+            p.raw.length, k, docFilter)
         }
     }
   }

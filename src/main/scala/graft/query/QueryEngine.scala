@@ -64,12 +64,16 @@ object QueryEngine {
     * (zero-to-one) with substitutions and deletions now reachable. The
     * reference has no fuzzy mode; this is an extension, kept on a separate
     * parameter so `maxEdits = 0` stays bit-faithful to the prefix goldens.
+    *
+    * `docFilter` restricts RESULTS to an allowed `doc_id` set while keeping
+    * corpus-level stats — see [[scoreCandidates]] for the filtered-search
+    * semantics and scale shape.
     */
   def query(idx: InvertedIndex, queryString: String, model: ScoreModel,
       boosts: Seq[Double] = Nil, limit: Int = -1,
       maxCollectedExpansions: Int = 4096,
       tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
-      maxEdits: Int = 0): DataFrame = {
+      maxEdits: Int = 0, docFilter: Option[DataFrame] = None): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
@@ -85,7 +89,7 @@ object QueryEngine {
 
     if (maxEdits > 0)
       return queryFuzzy(idx, qterms, raw.length, model, fb, limit,
-        maxCollectedExpansions, maxEdits)
+        maxCollectedExpansions, maxEdits, docFilter = docFilter)
 
     resolveExpansionsCollected(idx, qterms, maxCollectedExpansions) match {
       case Some((rows, buckets)) =>
@@ -93,7 +97,8 @@ object QueryEngine {
         val cand0 = idx.livePostings
           .filter(candidatePredicate(idx, rows.map(_._3).distinct, buckets))
         val expDf = rows.toDF("qti", "qterm", "exp_term", "df")
-        scoreCandidates(idx, cand0, expDf, model, fb, raw.length, limit)
+        scoreCandidates(idx, cand0, expDf, model, fb, raw.length, limit,
+          docFilter)
 
       case None =>
         // unbounded expansion (over the collect cap): keep everything as
@@ -113,7 +118,8 @@ object QueryEngine {
             exp.drop("df").join(liveDf, col("exp_term") === col("term"))
               .select(col("qti"), col("qterm"), col("exp_term"), col("ldf").as("df"))
           } else exp
-        scoreCandidates(idx, cand0, expLive, model, fb, raw.length, limit)
+        scoreCandidates(idx, cand0, expLive, model, fb, raw.length, limit,
+          docFilter)
     }
   }
 
@@ -134,7 +140,8 @@ object QueryEngine {
     */
   private def queryFuzzy(idx: InvertedIndex, qterms: Seq[(Int, String)],
       qlenRaw: Int, model: ScoreModel, fb: Seq[Double], limit: Int,
-      cap: Int, maxEdits: Int, dict: Option[DataFrame] = None): DataFrame = {
+      cap: Int, maxEdits: Int, dict: Option[DataFrame] = None,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
     resolveFuzzyCollected(idx, qterms, maxEdits, cap, dict) match {
@@ -143,7 +150,8 @@ object QueryEngine {
         val cand0 = idx.livePostings
           .filter(candidatePredicate(idx, rows.map(_._3).distinct, buckets))
         val expDf = rows.toDF("qti", "qterm", "exp_term", "df", "edist")
-        scoreCandidates(idx, cand0, expDf, model, fb, qlenRaw, limit)
+        scoreCandidates(idx, cand0, expDf, model, fb, qlenRaw, limit,
+          docFilter)
       case None =>
         // over the collect cap: DataFrame-only plan (the fuzzy analog of
         // the prefix path's startsWith-scan fallback)
@@ -164,7 +172,8 @@ object QueryEngine {
               .select(col("qti"), col("qterm"), col("exp_term"),
                 col("ldf").as("df"), col("edist"))
           } else exp
-        scoreCandidates(idx, cand0, expLive, model, fb, qlenRaw, limit)
+        scoreCandidates(idx, cand0, expLive, model, fb, qlenRaw, limit,
+          docFilter)
     }
   }
 
@@ -179,7 +188,8 @@ object QueryEngine {
   def queryFuzzyPersisted(idx: InvertedIndex, root: String,
       queryString: String, model: ScoreModel, boosts: Seq[Double] = Nil,
       limit: Int = -1, maxCollectedExpansions: Int = 4096,
-      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     val spark = idx.postings.sparkSession
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
     require(fb.size == idx.numFields, "one boost per field")
@@ -189,7 +199,76 @@ object QueryEngine {
     val dict = graft.index.IndexCatalog.fuzzyCandidateDict(
       spark, root, qterms.map(_._2), maxEdits = 1)
     queryFuzzy(idx, qterms, raw.length, model, fb, limit,
-      maxCollectedExpansions, maxEdits = 1, dict = Some(dict))
+      maxCollectedExpansions, maxEdits = 1, dict = Some(dict),
+      docFilter = docFilter)
+  }
+
+  /** CONJUNCTIVE (AND) matching as a derived [[query]] `docFilter`: the set
+    * of live documents matching at least one expansion of EVERY non-empty
+    * query term. The reference is disjunction-only (query.rs:17-106); AND
+    * semantics is the standard extension every search deployment needs, and
+    * expressing it as a doc filter composes with everything else for free —
+    * `query(q, m, docFilter = Some(conjunctiveFilter(idx, q)))` is the
+    * conjunctive query, and the same frame drops into
+    * [[BlockMaxTopK.query]] (the disjunctive per-range UB dominates every
+    * conjunctive doc's true score, so WAND pruning stays sound; the θ-probe
+    * then seeds from conjunctive docs only, which prunes HARDER).
+    *
+    * Plan shape: the same term-pruned candidate scan the query itself uses
+    * (bucket/term IN — never the full posting store), one
+    * `groupBy(doc_id).agg(count(DISTINCT qti))` with map-side partial
+    * aggregation, `= nTerms` filter. A term with zero live expansions makes
+    * the result empty (strict AND).
+    */
+  def conjunctiveFilter(idx: InvertedIndex, queryString: String,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      maxEdits: Int = 0): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val raw = tokenizer(queryString)
+    val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
+    def none = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType, nullable = false))))
+    if (qterms.isEmpty) return none
+    // (qti, exp_term) pairs + the matching candidate-scan predicate, via
+    // the SAME resolvers as the scoring paths (collected when small; the
+    // DataFrame fallback over the cap)
+    val (pairs, cand) =
+      (if (maxEdits > 0) resolveFuzzyCollected(idx, qterms, maxEdits,
+          maxCollectedExpansions).map(r => (r._1.map(x => (x._1, x._3)), r._2))
+       else resolveExpansionsCollected(idx, qterms, maxCollectedExpansions)
+          .map(r => (r._1.map(x => (x._1, x._3)), r._2))) match {
+        case Some((rows, buckets)) =>
+          if (rows.isEmpty) return none
+          (broadcast(rows.distinct.toDF("qti", "exp_term")),
+            idx.livePostings.filter(
+              candidatePredicate(idx, rows.map(_._2).distinct, buckets)))
+        case None =>
+          val qdf = qterms.toSeq.toDF("qti", "qterm")
+          if (maxEdits > 0) {
+            val p = idx.termdict.filter(fuzzyLenWindow(qterms, maxEdits))
+              .join(broadcast(qdf),
+                levenshtein(col("term"), col("qterm")) <= maxEdits)
+              .select(col("qti"), col("term").as("exp_term"))
+            (p, idx.livePostings.join(p.select("exp_term").distinct(),
+              col("term") === col("exp_term"), "left_semi"))
+          } else {
+            val pred = qterms.map { case (_, t) =>
+              col("term").startsWith(lit(t)) }.reduce(_ || _)
+            val p = idx.termdict.filter(pred)
+              .join(broadcast(qdf), col("term").startsWith(col("qterm")))
+              .select(col("qti"), col("term").as("exp_term"))
+            (p, idx.livePostings.filter(pred))
+          }
+      }
+    cand.select(col("doc_id"), col("term"))
+      .join(pairs, col("term") === col("exp_term"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("qti")).as("nmatched"))
+      .filter(col("nmatched") === lit(qterms.length))
+      .select(col("doc_id"))
   }
 
   /** Cheap dictionary prefilter for fuzzy resolution: only terms whose
@@ -299,13 +378,33 @@ object QueryEngine {
 
   /** Score a candidate-postings DataFrame against a resolved expansion set:
     * the shared tail of the exhaustive path and [[BlockMaxTopK]].
+    *
+    * `docFilter` (FILTERED SEARCH — "search within a subset", the standard
+    * predicate+top-k production shape): a one-column `doc_id` set of
+    * allowed documents, semi-joined against the candidates AFTER term
+    * pruning and BEFORE scoring, so excluded docs are never scored. Stats
+    * (idf, avgdl, df) stay CORPUS-level — per-doc scores are therefore
+    * identical to the unfiltered query's (pinned by FilteredSearchSpec),
+    * which is what makes result pages stable as a user adds/removes
+    * facets. Because this is the one scoring seam shared by every path,
+    * the WAND θ-probe scores only allowed docs (θ stays a true attainable
+    * score — pruning remains sound) and survivor decodes are filtered
+    * too. At scale the semi-join runs AFTER bucket/partition pruning (the
+    * big side is already cut to the query's terms) and AQE broadcasts a
+    * small filter set; for an extremely selective filter over a hot term,
+    * pre-filtering the corpus and indexing the subset is the better plan —
+    * this operator serves the ad-hoc facet case.
     */
   private[graft] def scoreCandidates(idx: InvertedIndex, cand: DataFrame,
       exp: DataFrame, model: ScoreModel, fb: Seq[Double], qlenRaw: Int,
-      limit: Int): DataFrame = {
+      limit: Int, docFilter: Option[DataFrame] = None): DataFrame = {
+    val cand1 = docFilter.fold(cand) { f =>
+      require(f.columns.contains("doc_id"), "docFilter needs a doc_id column")
+      cand.join(f.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    }
     val stats = idx.fieldStats()
     val expCols = model.expansionColumns(exp, stats)
-    val joined = cand.join(broadcast(expCols), col("term") === col("exp_term"))
+    val joined = cand1.join(broadcast(expCols), col("term") === col("exp_term"))
     val scored = model.score(joined, stats, fb, qlenRaw, idx.numFields)
       .orderBy(col("score").desc, col("doc_id").asc)
     if (limit > 0) scored.limit(limit) else scored
