@@ -819,6 +819,25 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // PHRASE search (exact adjacent token sequence), two-phase match+verify
+    // (no positional postings): exact-term conjunctive candidates from the
+    // index, adjacency verified on the candidates' raw text via the padded
+    // space-join — then scored through the WAND block path as a docFilter.
+    // The oracle recomputes adjacency INDEPENDENTLY (canonical token stream
+    // LIKE '% merge group %'), so a candidate that has both terms NON-
+    // adjacent leaking through breaks rows, and scoring drift breaks hash.
+    "q56_bm25_phrase" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val pf = QueryEngine.phraseFilter(idx, docs(s, dir), "doc_id",
+        Seq("text"), "merge group")
+      graft.query.BlockMaxTopK.query(idx, IndexCache.blocks(s, dir),
+        "merge group", BM25(), k = 200, blockSize = IndexCache.BlockSize,
+        docFilter = Some(pf))
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // pipeline: multimodal decode — REAL header parsing end-to-end: the
     // corpus text is encoded into genuine PNG / header-accurate JPEG blobs
     // (MediaCodec; dims derived from the first two text bytes) and
@@ -1632,6 +1651,14 @@ object SparkEntry {
     // filtered ANN: the q36 oracle with the label predicate applied to the
     // candidate set (post-probe, pre-top-k — the engine's semi-join point)
     "q54_ann_filtered" -> annLshTopKSql(" AND (em.label % 2) = 1"),
+
+    // phrase: the lossless-WAND top-k oracle restricted to docs whose
+    // canonical (empty-filtered, single-space-joined) token stream contains
+    // the adjacent sequence — an independent reformulation of the engine's
+    // two-phase match+verify
+    "q56_bm25_phrase" -> bm25Sql(Seq("merge", "group"), "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20",
+      docWhere = "WHERE ' ' || array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ') || ' ' LIKE '% merge group %'"),
 
     // conjunctive: q24's lossless-WAND oracle restricted to docs matching
     // every query term (HAVING count(DISTINCT qti) = 2 over the same

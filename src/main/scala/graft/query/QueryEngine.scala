@@ -271,6 +271,98 @@ object QueryEngine {
       .select(col("doc_id"))
   }
 
+  /** PHRASE matching (exact adjacent token sequence) as a derived [[query]]
+    * `docFilter`, via two-phase MATCH + VERIFY. The index stores no token
+    * positions — positional postings would double-to-triple posting bytes
+    * at 100 TB for an operator most queries never use (the reference stores
+    * none either, index.rs:86-116) — so:
+    *
+    *  - Phase 1 (match): exact-term conjunctive candidates from the index —
+    *    the same bucket/term-pruned posting scan every query uses, one
+    *    partial-aggregated `count(DISTINCT term) = n` pass. A multi-word
+    *    phrase's candidate count is bounded by its rarest term's df.
+    *  - Phase 2 (verify): adjacency checked on the CANDIDATES' raw fields
+    *    only. `docs` is scanned column-pruned to (id, fields); when the
+    *    candidate set is small (≤ `maxCollectedCandidates`) the ids are
+    *    collected and pushed as a `doc_id IN` SCAN predicate — parquet
+    *    row-group pruning on id-sorted corpora, so the verify pass reads
+    *    only the row groups holding candidates; above the cap a semi-join
+    *    keeps it fully distributed (AQE broadcasts the candidate side when
+    *    it is broadcastable). The adjacency test itself is pure codegen —
+    *    `array_join` of the SAME token stream the index was built from,
+    *    space-padded `instr` — no UDF, no positions.
+    *
+    * A phrase matches WITHIN one field; it never spans a field boundary
+    * (each field's token stream is tested independently). `tokensCol` must
+    * be the tokenizer the index was built with ([[graft.analysis.Analyzer
+    * .tokensCol]] / `codeTokensCol`) — token-level adjacency, so with the
+    * code tokenizer the phrase "foo . bar" matches source text `foo.bar`.
+    * A phrase term absent from the live dictionary empties the result.
+    *
+    * Compose: `query(idx, phrase, model, docFilter = Some(phraseFilter(…)))`
+    * ranks the phrase-matching docs by the phrase terms' BM25 (corpus-level
+    * stats), and the same frame drops into [[BlockMaxTopK.query]] — θ seeds
+    * from phrase-matching docs only, so WAND prunes HARDER under a phrase.
+    */
+  def phraseFilter(idx: InvertedIndex, docs: DataFrame, docIdCol: String,
+      fieldCols: Seq[String], phrase: String,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      tokensCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Analyzer.tokensCol,
+      maxCollectedCandidates: Int = 65536): DataFrame = {
+    val spark = idx.postings.sparkSession
+    def none = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType, nullable = false))))
+    val terms = tokenizer(phrase).filter(_.nonEmpty)
+    if (terms.isEmpty) return none
+    val distinctTerms: Seq[String] = terms.distinct
+    // exact dictionary lookup (point predicate, ≤ n rows): buckets for the
+    // posting-scan partition pruning; a missing term ⇒ strict-AND empty
+    val bucketCol =
+      if (idx.termdict.columns.contains("bucket")) col("bucket") else lit(-1)
+    val found = idx.termdict.filter(col("term").isin(distinctTerms: _*))
+      .select(col("term"), bucketCol.cast("int").as("bucket")).collect()
+    if (found.map(_.getString(0)).distinct.length < distinctTerms.length)
+      return none
+    val buckets = found.map(_.getInt(1)).distinct.toSeq
+    val cand = idx.livePostings
+      .filter(candidatePredicate(idx, distinctTerms, buckets))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("nmatched"))
+      .filter(col("nmatched") === lit(distinctTerms.length))
+      .select(col("doc_id"))
+    val needle = " " + terms.mkString(" ") + " "
+    val adjacent = fieldCols.map { f =>
+      instr(concat(lit(" "), array_join(tokensCol(col(f)), " "), lit(" ")),
+        needle) > 0
+    }.reduce(_ || _)
+    val base = docs.select(
+      col(docIdCol).cast("long").as("doc_id") +: fieldCols.map(col): _*)
+    val collected = cand.limit(maxCollectedCandidates + 1).collect()
+    val verified =
+      if (collected.length <= maxCollectedCandidates) {
+        if (collected.isEmpty) return none
+        base.filter(col("doc_id").isin(collected.map(_.getLong(0)).toSeq: _*))
+      } else base.join(cand, Seq("doc_id"), "left_semi")
+    verified.filter(adjacent).select(col("doc_id"))
+  }
+
+  /** Phrase-scored search: docs containing the exact phrase, ranked by the
+    * phrase terms' scores under `model` (corpus-level stats — the standard
+    * phrase semantics: the phrase is a match predicate, not a scoring
+    * change). See [[phraseFilter]] for the match+verify design.
+    */
+  def phraseQuery(idx: InvertedIndex, docs: DataFrame, docIdCol: String,
+      fieldCols: Seq[String], phrase: String, model: ScoreModel,
+      boosts: Seq[Double] = Nil, limit: Int = -1,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      tokensCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Analyzer.tokensCol): DataFrame =
+    query(idx, phrase, model, boosts, limit, tokenizer = tokenizer,
+      docFilter = Some(phraseFilter(idx, docs, docIdCol, fieldCols, phrase,
+        tokenizer, tokensCol)))
+
   /** Cheap dictionary prefilter for fuzzy resolution: only terms whose
     * CHARACTER length sits within `maxEdits` of some query term's can be
     * within `maxEdits` edits of it. Keeps the dictionary scan from running
