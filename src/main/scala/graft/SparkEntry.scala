@@ -819,6 +819,27 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // BATCHED multi-query search: three queries (different term counts,
+    // one shared term) scored in ONE pass — one dictionary resolve, one
+    // pruned posting scan, one (qid, doc_id)-keyed shuffle. Oracle = the
+    // per-query BM25 SQL, one UNION ALL branch per query, so any cross-
+    // query bleed (wrong qid on a row, a shared term's expansion applied
+    // to the wrong query) breaks rows/hash. Engine over-fetches (k=50 on
+    // raw doubles) then cuts to 10 in micro units — the same tie-stable
+    // cut discipline as every top-k gate.
+    "q57_bm25_batch" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+      QueryEngine.batchQuery(idx, Seq(1L -> "spar merge", 2L -> "table",
+        3L -> "slow key window"), BM25(), k = 50)
+        .select(col("qid"), col("doc_id"), micro(col("score")).as("score_micro"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .drop("rn")
+        .orderBy(col("qid").asc, col("score_micro").desc, col("doc_id").asc)
+    }),
+
     // PHRASE search (exact adjacent token sequence), two-phase match+verify
     // (no positional postings): exact-term conjunctive candidates from the
     // index, adjacency verified on the candidates' raw text via the padded
@@ -1651,6 +1672,18 @@ object SparkEntry {
     // filtered ANN: the q36 oracle with the label predicate applied to the
     // candidate set (post-probe, pre-top-k — the engine's semi-join point)
     "q54_ann_filtered" -> annLshTopKSql(" AND (em.label % 2) = 1"),
+
+    // batch: one UNION ALL branch per query, each the standard BM25
+    // pipeline SQL with its micro-unit top-10 cut — an independent
+    // per-query formulation of what the engine computes in one pass
+    "q57_bm25_batch" -> Seq(
+      (1L, Seq("spar", "merge")),
+      (2L, Seq("table")),
+      (3L, Seq("slow", "key", "window"))).map { case (qid, terms) =>
+        s"SELECT $qid AS qid, * FROM (" + bm25Sql(terms, "",
+          finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 10") + ")"
+      }.mkString("", "\nUNION ALL\n",
+        "\nORDER BY qid ASC, score_micro DESC, doc_id ASC"),
 
     // phrase: the lossless-WAND top-k oracle restricted to docs whose
     // canonical (empty-filtered, single-space-joined) token stream contains

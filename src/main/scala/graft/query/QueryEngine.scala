@@ -348,6 +348,107 @@ object QueryEngine {
     verified.filter(adjacent).select(col("doc_id"))
   }
 
+  /** BATCHED multi-query search — score a whole query workload in ONE pass
+    * over the posting store. The eval / offline-serving shape: at 10^12
+    * docs, running N queries through [[query]] is N pruned-but-separate
+    * posting scans and N Spark jobs; batching amortizes the workload to
+    *
+    *  - ONE dictionary resolve (each DISTINCT term across the batch is
+    *    expanded once, shared by every query using it),
+    *  - ONE posting scan pruned to the UNION of the batch's buckets/terms,
+    *  - ONE broadcast join against the (qid-tagged) expansion table, and
+    *  - ONE shuffle keyed (qid, doc_id) — the same shuffle a single query
+    *    pays, just wider; map-side partial aggregation still applies.
+    *
+    * Per-(qid, doc) scores are IDENTICAL to running [[query]] per query
+    * (pinned by BatchQuerySpec for both shipped models): batch is an
+    * execution strategy, not a semantics change. Per-query top-k (`k > 0`)
+    * is a `row_number` window over the (qid, doc_id)-keyed result — the
+    * rank computation rides the same partitioning as the final aggregate.
+    *
+    * Returns `(qid, doc_id, score)`, per-query ordering only under `k > 0`.
+    * Query strings live on the driver (they are the workload definition —
+    * a million-query eval set is still MBs); everything derived from them
+    * stays distributed, with the same collected-expansion cap + startsWith
+    * DataFrame fallback discipline as [[query]]. Prefix semantics; no
+    * fuzzy batch path (run fuzzy workloads per query).
+    */
+  def batchQuery(idx: InvertedIndex, queries: Seq[(Long, String)],
+      model: ScoreModel, boosts: Seq[Double] = Nil, k: Int = -1,
+      maxCollectedExpansions: Int = 65536,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
+    require(fb.size == idx.numFields, "one boost per field")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids in batch")
+    def none = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("qid", LongType, nullable = false),
+        StructField("doc_id", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))))
+    // (qid, qti, qterm, qlenRaw) — qlenRaw counts empties, like query()
+    val qrows = queries.flatMap { case (qid, q) =>
+      val raw = tokenizer(q)
+      raw.zipWithIndex.collect { case (t, i) if t.nonEmpty =>
+        (qid, i, t, raw.length) }
+    }
+    if (qrows.isEmpty) return none
+    val stats = idx.fieldStats()
+    val distinctTerms = qrows.map(_._3).distinct
+    val scored = resolveExpansionsCollected(idx,
+        distinctTerms.zipWithIndex.map { case (t, i) => (i, t) },
+        maxCollectedExpansions) match {
+      case Some((rows, buckets)) =>
+        if (rows.isEmpty) return none
+        // fan the per-term expansions back out to every query using the
+        // term (driver-side: |qrows| × avg expansions, under the cap)
+        val byTerm = rows.groupBy(_._2)
+          .map { case (t, rs) => t -> rs.map(r => (r._3, r._4)) }
+        val expRows = qrows.flatMap { case (qid, qti, t, qlen) =>
+          byTerm.getOrElse(t, Nil).map { case (e, df) =>
+            (qid, qti, t, e, df, qlen) }
+        }
+        if (expRows.isEmpty) return none
+        val expDf = expRows.toDF("qid", "qti", "qterm", "exp_term", "df", "qlen")
+        val cand = idx.livePostings.filter(
+          candidatePredicate(idx, rows.map(_._3).distinct, buckets))
+        val joined = cand.join(broadcast(model.expansionColumns(expDf, stats)),
+          col("term") === col("exp_term"))
+        model.scoreBatch(joined, stats, fb, idx.numFields)
+      case None =>
+        // non-collected fallback (giant batch / hot prefixes): the same
+        // startsWith-scan plan as query()'s, with the qid column threaded
+        val qdf = qrows.toDF("qid", "qti", "qterm", "qlen")
+        val pred = distinctTerms.map(t => col("term").startsWith(lit(t)))
+          .reduce(_ || _)
+        val exp0 = idx.termdict.filter(pred)
+          .join(broadcast(qdf), col("term").startsWith(col("qterm")))
+          .select(col("qid"), col("qti"), col("qterm"),
+            col("term").as("exp_term"), col("df").cast("long").as("df"),
+            col("qlen"))
+        val cand = idx.livePostings.filter(pred)
+        val exp =
+          if (idx.hasTombstones) {
+            val liveDf = cand.groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
+            exp0.drop("df").join(liveDf, col("exp_term") === col("term"))
+              .select(col("qid"), col("qti"), col("qterm"), col("exp_term"),
+                col("ldf").as("df"), col("qlen"))
+          } else exp0
+        val joined = cand.join(model.expansionColumns(exp, stats),
+          col("term") === col("exp_term"))
+        model.scoreBatch(joined, stats, fb, idx.numFields)
+    }
+    if (k > 0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k).drop("_rn")
+        .orderBy(col("qid").asc, col("score").desc, col("doc_id").asc)
+    } else scored
+  }
+
   /** Phrase-scored search: docs containing the exact phrase, ranked by the
     * phrase terms' scores under `model` (corpus-level stats — the standard
     * phrase semantics: the phrase is a match predicate, not a scoring

@@ -95,7 +95,21 @@ final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends ScoreModel {
   }
 
   override def score(joined: DataFrame, stats: FieldStats, boosts: Seq[Double],
-      qlenRaw: Int, numFields: Int): DataFrame = {
+      qlenRaw: Int, numFields: Int): DataFrame =
+    scoreKeyed(joined, stats, boosts, numFields, Nil)
+
+  /** Batched: identical expressions and fold order, keyed by (qid, doc_id)
+    * — per-query scores are bit-identical to [[score]]'s (BatchQuerySpec).
+    */
+  override def scoreBatch(joined: DataFrame, stats: FieldStats,
+      boosts: Seq[Double], numFields: Int): DataFrame =
+    scoreKeyed(joined, stats, boosts, numFields, Seq("qid"))
+
+  /** The scoring pipeline, grouped by `keys :+ doc_id`: one code path for
+    * the single-query and batched shapes, so they cannot drift.
+    */
+  private def scoreKeyed(joined: DataFrame, stats: FieldStats,
+      boosts: Seq[Double], numFields: Int, keys: Seq[String]): DataFrame = {
     val perField: Seq[Column] = (0 until numFields).map { x =>
       val tf = element_at(col("tf"), x + 1).cast("double")
       val fl = element_at(col("fl"), x + 1).cast("double")
@@ -105,14 +119,15 @@ final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends ScoreModel {
         .otherwise(lit(0.0))
     }
     val termScore = perField.reduce(_ + _)
+    val keyCols = keys.map(col) :+ col("doc_id")
     joined
       .withColumn("_ts", termScore)
       .filter(col("_ts") > 0)
       // max over this query term's expansion set…
-      .groupBy(col("doc_id"), col("qti")).agg(max(col("_ts")).as("_mts"))
+      .groupBy(keyCols :+ col("qti"): _*).agg(max(col("_ts")).as("_mts"))
       // …then sum across query terms, folded in qti order so the f64
       // accumulation order matches the reference's sequential loop.
-      .groupBy(col("doc_id"))
+      .groupBy(keyCols: _*)
       .agg(aggregate(
         sort_array(collect_list(struct(col("qti"), col("_mts")))),
         lit(0.0),

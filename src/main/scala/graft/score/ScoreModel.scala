@@ -38,6 +38,20 @@ trait ScoreModel {
   def score(joined: DataFrame, stats: FieldStats, boosts: Seq[Double],
       qlenRaw: Int, numFields: Int): DataFrame
 
+  /** BATCHED scoring ([[graft.query.QueryEngine.batchQuery]]): like
+    * [[score]] but keyed by (query, doc) — input rows additionally carry
+    * `qid: long` (query id) and `qlen: int` (that query's raw token count,
+    * the per-row generalization of [[score]]'s scalar `qlenRaw`). Output:
+    * `(qid: long, doc_id: long, score: double)`. Per-(qid, doc_id) scores
+    * MUST equal what [[score]] would produce for that query alone — batch
+    * is an execution strategy, never a semantics change (pinned by
+    * BatchQuerySpec for both shipped models).
+    */
+  def scoreBatch(joined: DataFrame, stats: FieldStats, boosts: Seq[Double],
+      numFields: Int): DataFrame =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} does not implement batched scoring")
+
   /** Block-max pruning hook ([[graft.query.BlockMaxTopK]]): an upper bound
     * on the PER-EXPANSION term score of any document in a posting block,
     * as a column over (block metadata `max_tf`/`min_fl: array<int>` ⋈ this model's

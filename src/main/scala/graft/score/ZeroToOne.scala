@@ -19,6 +19,13 @@ private[graft] final case class ZEntry(
     doc_id: Long, field: Int, score: Double, qti: Int, node: String,
     tf: Int, fl: Int)
 
+/** Batched-scoring entry: [[ZEntry]] plus the query id and that query's raw
+  * token count (constant within a (qid, doc, field) group).
+  */
+private[graft] final case class ZBatchEntry(
+    qid: Long, qlen: Int, doc_id: Long, field: Int, score: Double, qti: Int,
+    node: String, tf: Int, fl: Int)
+
 /** The zero-to-one normalized scorer
   * (/root/reference/src/score/default/zero_to_one.rs:24-127).
   *
@@ -91,6 +98,38 @@ final case class ZeroToOne() extends ScoreModel {
         (key._1, ZeroToOne.fieldScore(it.toIndexedSeq, qlenRaw)))
       .toDF("doc_id", "_fscore")
       .groupBy(col("doc_id")).agg(max(col("_fscore")).as("score"))
+  }
+
+  /** Batched: the same greedy finalize per (qid, doc, field) group — the
+    * group key gains the query id and `qlen` rides each entry (it is
+    * constant within a group), so per-query results are identical to
+    * [[score]]'s (BatchQuerySpec). Group size stays bounded by
+    * (#expansions × #query terms) of ONE query, never by batch size.
+    */
+  override def scoreBatch(joined: DataFrame, stats: FieldStats,
+      boosts: Seq[Double], numFields: Int): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    val entries = joined
+      .select(col("qid"), col("qlen").cast("int").as("qlen"), col("doc_id"),
+        col("qti"), col("exp_term"), col("entscore"), col("fl"),
+        posexplode(col("tf")).as(Seq("pos", "tfx")))
+      .filter(col("tfx") > 0)
+      .select(col("qid"), col("qlen"), col("doc_id"),
+        col("pos").cast("int").as("field"), col("entscore").as("score"),
+        col("qti"), col("exp_term").as("node"), col("tfx").as("tf"),
+        element_at(col("fl"), col("pos") + 1).as("fl"))
+      .as[ZBatchEntry]
+    entries
+      .groupByKey(e => (e.qid, e.doc_id, e.field))
+      .mapGroups { (key: (Long, Long, Int), it: Iterator[ZBatchEntry]) =>
+        val es = it.toIndexedSeq
+        (key._1, key._2, ZeroToOne.fieldScore(
+          es.map(e => ZEntry(e.doc_id, e.field, e.score, e.qti, e.node,
+            e.tf, e.fl)), es.head.qlen))
+      }
+      .toDF("qid", "doc_id", "_fscore")
+      .groupBy(col("qid"), col("doc_id")).agg(max(col("_fscore")).as("score"))
   }
 }
 
