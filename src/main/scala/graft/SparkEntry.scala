@@ -819,6 +819,26 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // SPELLING SUGGESTION ("did you mean"): per input term, the dictionary
+    // term within Levenshtein 1 ranked (edit distance asc, df desc, term
+    // asc) — an exact hit ("spark") must suggest itself. Oracle recomputes
+    // the dictionary + ranking from scratch with DuckDB's levenshtein.
+    "q59_suggest" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      QueryEngine.suggest(idx, Seq("tble", "windw", "merg", "spark"))
+        .orderBy("qterm")
+    }),
+
+    // SNIPPET generation (hit highlighting): best 8-token window per doc
+    // by query-term occurrence count, earliest wins ties — one map-only
+    // codegen'd pass (SnippetSpec pins the no-Exchange plan). The oracle
+    // replays the identical rule with DuckDB list lambdas, so an off-by-
+    // one in the window walk or a tie broken late breaks the hash.
+    "q58_snippets" -> ((s, dir) =>
+      graft.query.Snippets.snippets(docs(s, dir), "doc_id", "text",
+        Seq("spark", "merge"), window = 8)
+        .orderBy("doc_id")),
+
     // BATCHED multi-query search: three queries (different term counts,
     // one shared term) scored in ONE pass — one dictionary resolve, one
     // pruned posting scan, one (qid, doc_id)-keyed shuffle. Oracle = the
@@ -1672,6 +1692,36 @@ object SparkEntry {
     // filtered ANN: the q36 oracle with the label predicate applied to the
     // candidate set (post-probe, pre-top-k — the engine's semi-join point)
     "q54_ann_filtered" -> annLshTopKSql(" AND (em.label % 2) = 1"),
+
+    // suggestion: dictionary + ranking recomputed from scratch (DuckDB
+    // levenshtein == Spark's on this ASCII corpus; occurrence-counted df
+    // like q02)
+    "q59_suggest" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+        |$ToksCte,
+        |td AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY term),
+        |q(qterm) AS (VALUES ('tble'), ('windw'), ('merg'), ('spark')),
+        |cand AS (SELECT q.qterm, td.term, td.df, levenshtein(q.qterm, td.term) AS ed
+        |         FROM q JOIN td ON levenshtein(q.qterm, td.term) <= 1)
+        |SELECT qterm, term AS suggestion, df FROM cand
+        |QUALIFY row_number() OVER (PARTITION BY qterm ORDER BY ed ASC, df DESC, term ASC) = 1
+        |ORDER BY qterm""".stripMargin,
+
+    // snippets: the engine's deterministic rule replayed with DuckDB list
+    // lambdas — same tokenization, same window walk, same earliest-max tie
+    "q58_snippets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+        |), scored AS (
+        |  SELECT doc_id, t,
+        |    list_transform(generate_series(1, greatest(len(t) - 8 + 1, 1)),
+        |      i -> len(list_filter(t[i:i+7], x -> x IN ('spark','merge')))) AS sc
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  array_to_string(t[list_position(sc, list_max(sc)):list_position(sc, list_max(sc))+7], ' ') AS snippet,
+        |  CAST(list_max(sc) AS INT) AS matches
+        |FROM scored WHERE list_max(sc) > 0 ORDER BY doc_id""".stripMargin,
 
     // batch: one UNION ALL branch per query, each the standard BM25
     // pipeline SQL with its micro-unit top-10 cut — an independent

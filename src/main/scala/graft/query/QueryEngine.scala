@@ -464,6 +464,71 @@ object QueryEngine {
       docFilter = Some(phraseFilter(idx, docs, docIdCol, fieldCols, phrase,
         tokenizer, tokensCol)))
 
+  /** Spelling suggestion ("did you mean"): for each input term, the live
+    * dictionary term within Levenshtein ≤ `maxEdits`, ranked by
+    * (edit distance asc, df desc, term asc) — an exact hit suggests
+    * itself; terms with no candidate are dropped. Output:
+    * `(qterm, suggestion, df)`.
+    *
+    * Built on the SAME fuzzy resolution the query paths use (length-window
+    * dictionary prefilter + broadcast `levenshtein` join, live-df recount
+    * under tombstones; pass `dict` = [[graft.index.IndexCatalog
+    * .fuzzyCandidateDict]] for the persisted variant-table point-lookup
+    * plan). Candidate sets are per-term tiny, so ranking happens on the
+    * driver under the collected cap; over the cap the same ranking runs as
+    * a window over the DataFrame fallback plan.
+    */
+  def suggest(idx: InvertedIndex, terms: Seq[String], maxEdits: Int = 1,
+      maxCollectedExpansions: Int = 4096,
+      dict: Option[DataFrame] = None): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val qterms = terms.filter(_.nonEmpty).distinct.zipWithIndex
+      .map { case (t, i) => (i, t) }
+    def none = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("qterm", StringType, nullable = false),
+        StructField("suggestion", StringType, nullable = false),
+        StructField("df", LongType, nullable = false))))
+    if (qterms.isEmpty) return none
+    resolveFuzzyCollected(idx, qterms, maxEdits, maxCollectedExpansions,
+        dict) match {
+      case Some((rows, _)) =>
+        if (rows.isEmpty) return none
+        rows.groupBy(_._2).view.mapValues(
+            _.minBy { case (_, _, e, df, ed) => (ed, -df, e) })
+          .values.toSeq
+          .map { case (_, q, e, df, _) => (q, e, df) }
+          .sortBy(_._1)
+          .toDF("qterm", "suggestion", "df")
+      case None =>
+        val qdf = qterms.toDF("qti", "qterm")
+        val cand = idx.termdict.filter(fuzzyLenWindow(qterms, maxEdits))
+          .join(broadcast(qdf),
+            levenshtein(col("term"), col("qterm")) <= maxEdits)
+          .select(col("qterm"), col("term").as("suggestion"),
+            col("df").cast("long").as("df"),
+            levenshtein(col("term"), col("qterm")).as("edist"))
+        val live =
+          if (idx.hasTombstones) {
+            val liveDf = idx.livePostings
+              .join(cand.select(col("suggestion")).distinct(),
+                col("term") === col("suggestion"), "left_semi")
+              .groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
+            cand.drop("df").join(liveDf, col("suggestion") === col("term"))
+              .select(col("qterm"), col("suggestion"),
+                col("ldf").as("df"), col("edist"))
+          } else cand
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qterm"))
+          .orderBy(col("edist").asc, col("df").desc, col("suggestion").asc)
+        live.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("qterm"), col("suggestion"), col("df"))
+          .orderBy(col("qterm"))
+    }
+  }
+
   /** Cheap dictionary prefilter for fuzzy resolution: only terms whose
     * CHARACTER length sits within `maxEdits` of some query term's can be
     * within `maxEdits` edits of it. Keeps the dictionary scan from running
