@@ -313,7 +313,11 @@ object SparkEntry {
   private def bm25Sql(qterms: Seq[String], filter: String,
       finalOrder: String = "ORDER BY doc_id",
       toksCte: String = ToksCte, fuzzy: Boolean = false,
-      docWhere: String = "", conjunctive: Boolean = false): String = {
+      docWhere: String = "", conjunctive: Boolean = false,
+      qtSelect: String = ""): String = {
+    // qtSelect replaces the literal query-term VALUES with a COMPUTED
+    // (qti, qterm) select — q61's more-like-this derives its query terms
+    // from the data (the seed doc's tf-idf top terms)
     val qvals = qterms.zipWithIndex
       .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
     // fuzzy mode (q49): Levenshtein-1 expansion instead of prefix, and the
@@ -338,7 +342,8 @@ object SparkEntry {
        |stats AS (SELECT count(*) AS n, sum(fl) AS s FROM doclen),
        |post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
        |tdf AS (SELECT term, sum(tf) AS df FROM post GROUP BY term),
-       |qt AS (SELECT * FROM (VALUES $qvals) AS t(qti, qterm)),
+       |qt AS (${if (qtSelect.nonEmpty) qtSelect
+         else s"SELECT * FROM (VALUES $qvals) AS t(qti, qterm)"}),
        |exp AS (SELECT qt.qti, qt.qterm, tdf.term AS eterm, tdf.df
        |        FROM qt JOIN tdf ON $expJoin),
        |esc AS (SELECT e.qti, e.eterm,
@@ -816,6 +821,41 @@ object SparkEntry {
         filter = Some(allowed))
         .select(col("vec_id"), micro(col("cos")).as("cos_micro"))
         .orderBy(col("cos_micro").desc, col("vec_id").asc)
+        .limit(20)
+    }),
+
+    // SPAN-LEVEL dedup signal (Lee et al. 2022 shape): per doc, how many
+    // of its 8-token windows are shared verbatim with another doc. One
+    // explode + hash-groupBy (no self-join); the oracle recomputes the
+    // identical md5 span keys and the distinct-doc duplicate rule.
+    "q62_span_dedup" -> ((s, dir) =>
+      graft.pipeline.Dedup.spanDupStats(docs(s, dir), "doc_id", "text",
+        n = 8)
+        .orderBy("doc_id")),
+
+    // FACET COUNTS over a query's match set (the results-page sidebar):
+    // one pruned posting scan → distinct match set → semi-join into the
+    // (id, facet) projection → one narrow groupBy. Oracle recomputes the
+    // match set (any expansion of any term) and counts per source.
+    "q60_facets" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      QueryEngine.facetCounts(idx, docs(s, dir), "doc_id", "source",
+        "spar merge")
+        .select(col("facet"), col("n_docs").cast("long").as("n_docs"))
+    }),
+
+    // MORE-LIKE-THIS: the seed doc's tf-idf top-5 terms become the query
+    // (rank order = qti order, so the score fold matches), seed excluded.
+    // The oracle recomputes term salience (occ × BM25 idf, the identical
+    // f64 product), the rank cut, and the full scoring pipeline in SQL —
+    // a drifted salience weight or a mis-ranked term changes the query
+    // itself and breaks everything downstream.
+    "q61_more_like_this" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      QueryEngine.moreLikeThis(idx, docId = 3L, BM25(), topTerms = 5,
+        limit = 200)
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
         .limit(20)
     }),
 
@@ -1692,6 +1732,46 @@ object SparkEntry {
     // filtered ANN: the q36 oracle with the label predicate applied to the
     // candidate set (post-probe, pre-top-k — the engine's semi-join point)
     "q54_ann_filtered" -> annLshTopKSql(" AND (em.label % 2) = 1"),
+
+    // span dedup: identical md5 span keys, duplicate = shared by >= 2
+    // distinct docs; docs shorter than the window have no spans (and no row)
+    "q62_span_dedup" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |w AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS k
+        |      FROM tk, unnest(generate_series(1, len(t) - 7)) g(i)),
+        |dup AS (SELECT k FROM w GROUP BY k HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN k IN (SELECT k FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // facets: match set (any prefix expansion of any term) recomputed from
+    // scratch, counted per source
+    "q60_facets" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+        |$ToksCte,
+        |post AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+        |qt(qterm) AS (VALUES ('spar'), ('merge')),
+        |m AS (SELECT DISTINCT p.doc_id FROM post p
+        |      JOIN qt ON p.term LIKE qt.qterm || '%')
+        |SELECT d.source AS facet, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM m JOIN documents d ON d.doc_id = m.doc_id
+        |GROUP BY d.source ORDER BY n_docs DESC, facet ASC""".stripMargin,
+
+    // more-like-this: the seed doc's salience ranking (occ × idf — post.tf
+    // IS the doc's occurrence count on this 1-field corpus), the (weight
+    // desc, term asc) rank cut, qti = rank, then the standard pipeline
+    // with the seed excluded — all recomputed inside the oracle
+    "q61_more_like_this" -> bm25Sql(Nil, "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20",
+      docWhere = "WHERE doc_id <> 3",
+      qtSelect =
+        """SELECT row_number() OVER (ORDER BY w DESC, term ASC) - 1 AS qti,
+          |       term AS qterm
+          |FROM (SELECT p.term,
+          |        p.tf * ln(1 + ((st.n - least(st.n, t.df)) + 0.5) / (least(st.n, t.df) + 0.5)) AS w
+          |      FROM post p JOIN tdf t ON p.term = t.term, stats st
+          |      WHERE p.doc_id = 3)
+          |QUALIFY row_number() OVER (ORDER BY w DESC, term ASC) <= 5""".stripMargin),
 
     // suggestion: dictionary + ranking recomputed from scratch (DuckDB
     // levenshtein == Spark's on this ASCII corpus; occurrence-counted df

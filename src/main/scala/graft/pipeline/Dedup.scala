@@ -410,4 +410,68 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Every n-token span of every doc, keyed by a portable content hash:
+    * `(doc_id, span_key)`, one row per OCCURRENCE (span-level dedup counts
+    * repeats, unlike the distinct-shingle Jaccard path). md5 of the
+    * space-joined window — the pipeline's standard portable hash (one
+    * crypto hash per span, same as the minhash stage; at deployment swap
+    * for xxhash128 if profile says so — the key only needs uniformity).
+    */
+  private def spanKeys(docs: DataFrame, docIdCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(docIdCol).cast("long").as("doc_id"),
+        Portable.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+        explode(Portable.shinglesOfTokens(col("_toks"), n)).as("_span"))
+      .select(col("doc_id"), md5(col("_span")).as("span_key"))
+
+  /** Exact duplicate-SPAN detection — the span-level dedup signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): every verbatim n-token window shared by at least `minDocs`
+    * DISTINCT docs. Returns `(span_key, n_docs, n_occ)`.
+    *
+    * Scale: one explode (×tokens-per-doc, the same fan-out as every
+    * shingle stage) into one partial-aggregated groupBy on a uniform hash
+    * key — no self-join, no skew (a hot span has many rows but they
+    * map-side-combine). The full suffix-array construction the paper uses
+    * finds MAXIMAL spans; the fixed-n windowed form here is its standard
+    * scalable approximation (any duplicated span ≥ n tokens is caught by
+    * its n-token sub-windows).
+    */
+  def duplicateSpans(docs: DataFrame, docIdCol: String, textCol: String,
+      n: Int = 32, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2, "need n > 0, minDocs >= 2")
+    spanKeys(docs, docIdCol, textCol, n)
+      .groupBy(col("span_key"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Per-document duplicate-span exposure: how much of each doc is made of
+    * corpus-duplicated n-token spans — `(doc_id, n_spans, n_dup_spans)`
+    * for every doc with at least one span (shorter docs have none). The
+    * filter signal is `n_dup_spans / n_spans`; thresholding it is the
+    * span-level analog of doc-level near-dup dropping.
+    *
+    * Two aggregations over the span stream (total + duplicated), so the
+    * span frame is a [[CacheScope]] cut; the duplicated-key side arrives
+    * via semi-join against [[duplicateSpans]] keys (shuffle-safe at any
+    * duplicate cardinality — no driver collect, no broadcast assumption).
+    */
+  def spanDupStats(docs: DataFrame, docIdCol: String, textCol: String,
+      n: Int = 32, minDocs: Int = 2,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val sp = scope.cut(spanKeys(docs, docIdCol, textCol, n))
+    val dupKeys = sp.groupBy(col("span_key"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs).select(col("span_key"))
+    val totals = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val dups = sp.join(dupKeys, Seq("span_key"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    totals.join(dups, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
 }

@@ -464,6 +464,109 @@ object QueryEngine {
       docFilter = Some(phraseFilter(idx, docs, docIdCol, fieldCols, phrase,
         tokenizer, tokensCol)))
 
+  /** The MATCH SET of a query: distinct live `doc_id`s containing at least
+    * one expansion of at least one query term — exactly the doc set
+    * [[query]] scores, without the scoring. Same two-tier resolution
+    * (collected bucket/term-IN pruned scan; `startsWith` fallback).
+    */
+  def matchedDocs(idx: InvertedIndex, queryString: String,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+    val spark = idx.postings.sparkSession
+    def none = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType, nullable = false))))
+    val raw = tokenizer(queryString)
+    val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
+    if (qterms.isEmpty) return none
+    val cand = resolveExpansionsCollected(idx, qterms,
+        maxCollectedExpansions) match {
+      case Some((rows, buckets)) =>
+        if (rows.isEmpty) return none
+        idx.livePostings.filter(
+          candidatePredicate(idx, rows.map(_._3).distinct, buckets))
+      case None =>
+        idx.livePostings.filter(qterms
+          .map { case (_, t) => col("term").startsWith(lit(t)) }
+          .reduce(_ || _))
+    }
+    cand.select(col("doc_id")).distinct()
+  }
+
+  /** FACET COUNTS over a query's match set — the results-page sidebar
+    * ("source: src1 (12), src2 (7), …"): for each value of `facetCol`
+    * among matching documents, the matching-doc count. One term-pruned
+    * posting scan → distinct → semi-join into a column-pruned (id, facet)
+    * projection of `docs` → one narrow groupBy whose cardinality is the
+    * facet domain. Returns `(facet, n_docs)`, ordered (n_docs desc, facet
+    * asc).
+    */
+  def facetCounts(idx: InvertedIndex, docs: DataFrame, docIdCol: String,
+      facetCol: String, queryString: String,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame =
+    docs.select(col(docIdCol).cast("long").as("doc_id"),
+        col(facetCol).as("facet"))
+      .join(matchedDocs(idx, queryString, maxCollectedExpansions, tokenizer),
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("facet")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("facet").asc)
+
+  /** MORE-LIKE-THIS: find documents similar to `docId`, by using the doc's
+    * own most SALIENT terms as the query. Salience = `occ × idf` (total
+    * occurrences in the doc × the BM25 idf over the live df — tf-idf, the
+    * standard MLT term selector); the top `topTerms` by (weight desc, term
+    * asc) become the query string in rank order, scored by `model` through
+    * the normal [[query]] path (prefix semantics, corpus-level stats),
+    * with the seed doc itself excluded from the result.
+    *
+    * Scale shape: the seed doc's posting rows are one partition-pruned
+    * point lookup (`doc_id = …` on the scan [the doc's terms' rows],
+    * bounded by the doc's distinct-term count), the df lookup for those
+    * terms another; both collect driver-side sets bounded by DOC length,
+    * never corpus size. The query itself is then an ordinary [[query]].
+    */
+  def moreLikeThis(idx: InvertedIndex, docId: Long, model: ScoreModel,
+      topTerms: Int = 5, limit: Int = -1,
+      maxCollectedExpansions: Int = 4096): DataFrame = {
+    val spark = idx.postings.sparkSession
+    val stats = idx.fieldStats()
+    def none = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))))
+    require(topTerms > 0, "topTerms must be positive")
+    // the seed doc's terms + occurrence counts (bounded by doc length)
+    val docTerms = idx.livePostings.filter(col("doc_id") === lit(docId))
+      .select(col("term"), col("occ").cast("long").as("occ"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (docTerms.isEmpty) return none
+    // live df for exactly those terms (tombstone-correct, like every
+    // query path); bucket pruning via the dictionary lookup
+    val terms = docTerms.map(_._1).toSeq
+    val bucketCol =
+      if (idx.termdict.columns.contains("bucket")) col("bucket") else lit(-1)
+    val buckets = idx.termdict.filter(col("term").isin(terms: _*))
+      .select(bucketCol.cast("int")).collect().map(_.getInt(0)).distinct.toSeq
+    val dfMap = idx.livePostings
+      .filter(candidatePredicate(idx, terms, buckets))
+      .groupBy(col("term")).agg(sum(col("occ")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = stats.n.toDouble
+    val top = docTerms.flatMap { case (t, occ) =>
+      dfMap.get(t).map { df =>
+        val f = math.min(n, df.toDouble)
+        (t, occ.toDouble * math.log(1.0 + (n - f + 0.5) / (f + 0.5)))
+      }
+    }.sortBy { case (t, w) => (-w, t) }.take(topTerms)
+    if (top.isEmpty) return none
+    val res = query(idx, top.map(_._1).mkString(" "), model,
+        maxCollectedExpansions = maxCollectedExpansions)
+      .filter(col("doc_id") =!= lit(docId))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    if (limit > 0) res.limit(limit) else res
+  }
+
   /** Spelling suggestion ("did you mean"): for each input term, the live
     * dictionary term within Levenshtein ≤ `maxEdits`, ranked by
     * (edit distance asc, df desc, term asc) — an exact hit suggests
