@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexCatalog
+import graft.query.QueryEngine
+import graft.score.BM25
+
+/** One-shot plan audit for the round-5 result-page operators over the
+  * PERSISTED index (the deployment shape): prints the physical plans so
+  * scan pruning / join strategies / exchange counts can be eyeballed and
+  * recorded in BENCH.md.
+  */
+object R5PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val root = "/tmp/graft_audit_idx"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$root/manifest.json")))
+      IndexCatalog.build(docs, "doc_id", Seq("text"), root)
+    val idx = IndexCatalog.read(spark, root)
+
+    println("=== batchQuery (3 queries, k=10) ===")
+    QueryEngine.batchQuery(idx, Seq(1L -> "spar merge", 2L -> "table",
+      3L -> "slow key window"), BM25(), k = 10).explain("formatted")
+
+    println("=== phraseFilter('merge group') ===")
+    QueryEngine.phraseFilter(idx, docs, "doc_id", Seq("text"), "merge group")
+      .explain("formatted")
+
+    println("=== facetCounts(source, 'spar merge') ===")
+    QueryEngine.facetCounts(idx, docs, "doc_id", "source", "spar merge")
+      .explain("formatted")
+    spark.stop()
+  }
+}
