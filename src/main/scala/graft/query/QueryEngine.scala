@@ -397,15 +397,25 @@ object QueryEngine {
     if (qrows.isEmpty) return none
     val stats = idx.fieldStats()
     val distinctTerms = qrows.map(_._3).distinct
-    val scored = resolveExpansionsCollected(idx,
-        distinctTerms.zipWithIndex.map { case (t, i) => (i, t) },
-        maxCollectedExpansions) match {
-      case Some((rows, buckets)) =>
-        if (rows.isEmpty) return none
-        // fan the per-term expansions back out to every query using the
-        // term (driver-side: |qrows| × avg expansions, under the cap)
-        val byTerm = rows.groupBy(_._2)
-          .map { case (t, rs) => t -> rs.map(r => (r._3, r._4)) }
+    // the collected plan is used only when BOTH driver-side sets fit the
+    // cap: the distinct-term expansion table (checked by the resolver) AND
+    // its per-query fan-out |qrows| × expansions (a million-query batch
+    // over hot prefixes must not materialize on the driver — it routes to
+    // the fully distributed plan instead)
+    val resolved = resolveExpansionsCollected(idx,
+      distinctTerms.zipWithIndex.map { case (t, i) => (i, t) },
+      maxCollectedExpansions)
+    if (resolved.exists(_._1.isEmpty)) return none // no term matches at all
+    val collected = resolved.flatMap { case (rows, buckets) =>
+      val byTerm = rows.groupBy(_._2)
+        .map { case (t, rs) => t -> rs.map(r => (r._3, r._4)) }
+      val fanout = qrows.iterator
+        .map(q => byTerm.get(q._3).fold(0)(_.length).toLong).sum
+      if (fanout > maxCollectedExpansions.toLong) None
+      else Some((rows, buckets, byTerm))
+    }
+    val scored = collected match {
+      case Some((rows, buckets, byTerm)) =>
         val expRows = qrows.flatMap { case (qid, qti, t, qlen) =>
           byTerm.getOrElse(t, Nil).map { case (e, df) =>
             (qid, qti, t, e, df, qlen) }

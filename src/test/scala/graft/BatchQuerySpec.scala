@@ -84,6 +84,24 @@ class BatchQuerySpec extends TestBase {
     idx.unpersist()
   }
 
+  test("driver fan-out over the cap routes to the distributed plan, same results") {
+    val src = tools.SourceCodeGen.generate(spark, 500)
+    val idx = IndexBuilder.build(src, "doc_id", Seq("content", "path")).cached()
+    // many queries sharing one broad prefix: the DISTINCT-term resolve fits
+    // the cap but |queries| × expansions exceeds it — the fan-out guard
+    // must route to the fallback plan without changing any result
+    val qs = (1L to 30L).map(i => i -> "Modu")
+    val nExp = QueryEngine.expandTerm(idx, "Modu").count().toInt
+    assert(nExp > 1 && nExp * 30 > nExp + 10)
+    val small = QueryEngine.batchQuery(idx, qs, BM25(), k = 5,
+        maxCollectedExpansions = nExp + 10) // fits resolve, not fan-out
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val big = QueryEngine.batchQuery(idx, qs, BM25(), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(small == big && small.nonEmpty)
+    idx.unpersist()
+  }
+
   test("duplicate qids are rejected; empty workload yields empty frame") {
     val src = tools.SourceCodeGen.generate(spark, 100)
     val idx = IndexBuilder.build(src, "doc_id", Seq("content"))
