@@ -463,6 +463,7 @@ object Dedup {
   def spanDupStats(docs: DataFrame, docIdCol: String, textCol: String,
       n: Int = 32, minDocs: Int = 2,
       scope: CacheScope = CacheScope.global): DataFrame = {
+    require(n > 0 && minDocs >= 2, "need n > 0, minDocs >= 2")
     val sp = scope.cut(spanKeys(docs, docIdCol, textCol, n))
     val dupKeys = sp.groupBy(col("span_key"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))

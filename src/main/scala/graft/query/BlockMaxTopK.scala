@@ -289,9 +289,17 @@ object BlockMaxTopK {
         QueryEngine.query(idx, queryString, model, fb, k, tokenizer = tokenizer,
           maxEdits = maxEdits, docFilter = docFilter)
       case Some(p) =>
+        // a DERIVED docFilter (conjunctiveFilter, phraseFilter — each its
+        // own pruned scan + aggregation) feeds at least two actions here:
+        // the θ-probe collect and the final top-k job. Persist it so the
+        // filter pipeline runs once; the pin is released by Spark's
+        // ContextCleaner when the result frame is dropped (this is a
+        // query-scoped intermediate, not a pipeline-scoped CacheScope cut)
+        val docFilterP = docFilter.map(
+          _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val probeIds = probeIdsFor(p, k, probeBlocks)
         val theta = thetaProbe(idx, blocks, p, model, fb, k, blockSize,
-          probeIds, rangesPerGroup, docFilter)
+          probeIds, rangesPerGroup, docFilterP)
         // cost-based exit (see scaladoc phase 2): an unseedable θ prunes
         // nothing anywhere; a survivor set ≈ all ranges (checkable when
         // the UB table is driver-complete) prunes too little to repay the
@@ -302,7 +310,7 @@ object BlockMaxTopK {
         def exhaustive() = QueryEngine.scoreCandidates(idx,
           idx.livePostings.filter(
             QueryEngine.candidatePredicate(idx, p.eterms, p.ebuckets)),
-          p.expDf, model, fb, p.raw.length, k, docFilter)
+          p.expDf, model, fb, p.raw.length, k, docFilterP)
         if (theta.isNegInfinity) exhaustive()
         else if (p.complete) {
           val surv = p.topRanges.collect { case (id, ub, _) if ub >= theta => id }.toSeq
@@ -318,7 +326,7 @@ object BlockMaxTopK {
             val cand = liveCand(idx,
               PostingBlocks.toPostings(survBlocks, idx.numFields, blockSize))
             QueryEngine.scoreCandidates(idx, cand, p.expDf, model, fb,
-              p.raw.length, k, docFilter)
+              p.raw.length, k, docFilterP)
           }
         } else {
           val survivors = p.rangeUb.filter(col("ub") >= theta).select("block_id")
@@ -331,7 +339,7 @@ object BlockMaxTopK {
           val cand = liveCand(idx,
             PostingBlocks.toPostings(survBlocks, idx.numFields, blockSize))
           QueryEngine.scoreCandidates(idx, cand, p.expDf, model, fb,
-            p.raw.length, k, docFilter)
+            p.raw.length, k, docFilterP)
         }
     }
   }

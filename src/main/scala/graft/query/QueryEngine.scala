@@ -203,6 +203,17 @@ object QueryEngine {
       docFilter = docFilter)
   }
 
+  /** Empty result frame with the given (name, type) columns — the shared
+    * zero-rows shape for strict-AND misses, empty workloads, and missing
+    * docs, so the schema every downstream semi-join/compose step relies on
+    * is defined in exactly one place.
+    */
+  private def emptyFrame(spark: SparkSession,
+      fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields.map { case (n, t) => StructField(n, t, nullable = false) }))
+
   /** CONJUNCTIVE (AND) matching as a derived [[query]] `docFilter`: the set
     * of live documents matching at least one expansion of EVERY non-empty
     * query term. The reference is disjunction-only (query.rs:17-106); AND
@@ -228,9 +239,7 @@ object QueryEngine {
     import spark.implicits._
     val raw = tokenizer(queryString)
     val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
-    def none = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("doc_id", LongType, nullable = false))))
+    def none = emptyFrame(spark, "doc_id" -> LongType)
     if (qterms.isEmpty) return none
     // (qti, exp_term) pairs + the matching candidate-scan predicate, via
     // the SAME resolvers as the scoring paths (collected when small; the
@@ -311,9 +320,7 @@ object QueryEngine {
         Analyzer.tokensCol,
       maxCollectedCandidates: Int = 65536): DataFrame = {
     val spark = idx.postings.sparkSession
-    def none = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("doc_id", LongType, nullable = false))))
+    def none = emptyFrame(spark, "doc_id" -> LongType)
     val terms = tokenizer(phrase).filter(_.nonEmpty)
     if (terms.isEmpty) return none
     val distinctTerms: Seq[String] = terms.distinct
@@ -383,11 +390,8 @@ object QueryEngine {
     require(fb.size == idx.numFields, "one boost per field")
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate query ids in batch")
-    def none = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("qid", LongType, nullable = false),
-        StructField("doc_id", LongType, nullable = false),
-        StructField("score", DoubleType, nullable = false))))
+    def none = emptyFrame(spark, "qid" -> LongType, "doc_id" -> LongType,
+      "score" -> DoubleType)
     // (qid, qti, qterm, qlenRaw) — qlenRaw counts empties, like query()
     val qrows = queries.flatMap { case (qid, q) =>
       val raw = tokenizer(q)
@@ -483,9 +487,7 @@ object QueryEngine {
       maxCollectedExpansions: Int = 4096,
       tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
     val spark = idx.postings.sparkSession
-    def none = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("doc_id", LongType, nullable = false))))
+    def none = emptyFrame(spark, "doc_id" -> LongType)
     val raw = tokenizer(queryString)
     val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
     if (qterms.isEmpty) return none
@@ -520,7 +522,10 @@ object QueryEngine {
       .join(matchedDocs(idx, queryString, maxCollectedExpansions, tokenizer),
         Seq("doc_id"), "left_semi")
       .groupBy(col("facet")).agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("n_docs").desc, col("facet").asc)
+      // asc_nulls_last: a nullable facet column must tie-break like the
+      // external SQL oracle (DuckDB default NULLS LAST), not Spark's
+      // default NULLS FIRST
+      .orderBy(col("n_docs").desc, col("facet").asc_nulls_last)
 
   /** MORE-LIKE-THIS: find documents similar to `docId`, by using the doc's
     * own most SALIENT terms as the query. Salience = `occ × idf` (total
@@ -541,10 +546,7 @@ object QueryEngine {
       maxCollectedExpansions: Int = 4096): DataFrame = {
     val spark = idx.postings.sparkSession
     val stats = idx.fieldStats()
-    def none = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("doc_id", LongType, nullable = false),
-        StructField("score", DoubleType, nullable = false))))
+    def none = emptyFrame(spark, "doc_id" -> LongType, "score" -> DoubleType)
     require(topTerms > 0, "topTerms must be positive")
     // the seed doc's terms + occurrence counts (bounded by doc length)
     val docTerms = idx.livePostings.filter(col("doc_id") === lit(docId))
@@ -598,11 +600,8 @@ object QueryEngine {
     import spark.implicits._
     val qterms = terms.filter(_.nonEmpty).distinct.zipWithIndex
       .map { case (t, i) => (i, t) }
-    def none = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("qterm", StringType, nullable = false),
-        StructField("suggestion", StringType, nullable = false),
-        StructField("df", LongType, nullable = false))))
+    def none = emptyFrame(spark, "qterm" -> StringType,
+      "suggestion" -> StringType, "df" -> LongType)
     if (qterms.isEmpty) return none
     resolveFuzzyCollected(idx, qterms, maxEdits, maxCollectedExpansions,
         dict) match {

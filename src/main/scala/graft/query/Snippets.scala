@@ -43,16 +43,20 @@ object Snippets {
     require(window > 0, "window must be positive")
     val terms = queryTerms.filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "at least one query term")
-    val toks = tokensCol(col(textCol))
+    // tokenize ONCE into a bound column and build every window from the
+    // BOUND column — higher-order-function lambdas run outside whole-stage
+    // codegen with no subexpression elimination (see Portable.scala), so
+    // referencing the raw tokenize expression inside the per-start lambda
+    // would re-split the full text once per window offset: O(tokens²)
+    // full-text work per doc
+    val toks = col("_toks")
     val n = size(toks)
     // window start positions are 1-based (slice is 1-based); short docs
     // (n <= window) get exactly one window covering the whole doc
     val starts = sequence(lit(1), greatest(n - lit(window) + lit(1), lit(1)))
     val scores = transform(starts, i => matchCount(slice(toks, i, lit(window)), terms))
     docs
-      // two narrow Projects so the token/score arrays are named once and
-      // Catalyst's subexpression elimination has an easy job
-      .withColumn("_toks", toks)
+      .withColumn("_toks", tokensCol(col(textCol)))
       .withColumn("_scores", scores)
       .select(col(docIdCol).cast("long").as("doc_id"),
         // array_position returns the FIRST index of the max — earliest

@@ -19,7 +19,9 @@ object R5PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val root = "/tmp/graft_audit_idx"
+    // root keyed by the data dir: a fixed path would silently reuse an
+    // index built from a DIFFERENT corpus on re-runs with another arg
+    val root = "/tmp/graft_audit_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
