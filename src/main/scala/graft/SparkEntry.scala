@@ -824,6 +824,16 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // PERCOLATION (reverse search / alerting): which registered queries
+    // match each document — conjunctive prefix matching compiled into ONE
+    // map-only codegen'd expression (no index, no shuffle, no state;
+    // stream-safe, pinned by PercolatorSpec). Oracle: per-query UNION ALL
+    // of the same forall-terms prefix rule.
+    "q63_percolate" -> ((s, dir) =>
+      graft.query.Percolator.percolate(docs(s, dir), "doc_id", Seq("text"),
+        Seq(1L -> "spar merge", 2L -> "table", 3L -> "slow key window"))
+        .orderBy("doc_id", "qid")),
+
     // SPAN-LEVEL dedup signal (Lee et al. 2022 shape): per doc, how many
     // of its 8-token windows are shared verbatim with another doc. One
     // explode + hash-groupBy (no self-join); the oracle recomputes the
@@ -1732,6 +1742,23 @@ object SparkEntry {
     // filtered ANN: the q36 oracle with the label predicate applied to the
     // candidate set (post-probe, pre-top-k — the engine's semi-join point)
     "q54_ann_filtered" -> annLshTopKSql(" AND (em.label % 2) = 1"),
+
+    // percolation: the conjunctive prefix rule recomputed per query as a
+    // UNION ALL branch
+    "q63_percolate" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS qid FROM tk
+        | WHERE len(list_filter(t, x -> x LIKE 'spar%')) > 0
+        |   AND len(list_filter(t, x -> x LIKE 'merge%')) > 0
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS BIGINT) FROM tk
+        | WHERE len(list_filter(t, x -> x LIKE 'table%')) > 0
+        |UNION ALL
+        |SELECT doc_id, CAST(3 AS BIGINT) FROM tk
+        | WHERE len(list_filter(t, x -> x LIKE 'slow%')) > 0
+        |   AND len(list_filter(t, x -> x LIKE 'key%')) > 0
+        |   AND len(list_filter(t, x -> x LIKE 'window%')) > 0
+        |ORDER BY doc_id, qid""".stripMargin,
 
     // span dedup: identical md5 span keys, duplicate = shared by >= 2
     // distinct docs; docs shorter than the window have no spans (and no row)
