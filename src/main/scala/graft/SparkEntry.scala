@@ -314,7 +314,7 @@ object SparkEntry {
       finalOrder: String = "ORDER BY doc_id",
       toksCte: String = ToksCte, fuzzy: Boolean = false,
       docWhere: String = "", conjunctive: Boolean = false,
-      qtSelect: String = ""): String = {
+      qtSelect: String = "", exclTerms: Seq[String] = Nil): String = {
     // qtSelect replaces the literal query-term VALUES with a COMPUTED
     // (qti, qterm) select — q61's more-like-this derives its query terms
     // from the data (the seed doc's tf-idf top terms)
@@ -360,12 +360,23 @@ object SparkEntry {
          else s""",
            |conj AS (SELECT p.doc_id FROM post p JOIN exp e ON p.term = e.eterm
            |        GROUP BY p.doc_id HAVING count(DISTINCT e.qti) = ${qterms.length})""".stripMargin
+       }${if (exclTerms.isEmpty) ""
+         else s""",
+           |excl AS (SELECT DISTINCT doc_id FROM post WHERE ${
+             exclTerms.map(t => s"term LIKE '$t%'").mkString(" OR ")})""".stripMargin
        }
        |SELECT doc_id, CAST(round(sum(mts) * 1000000.0) AS BIGINT) AS score_micro
-       |FROM sc ${if (docWhere.nonEmpty)
-           s"WHERE doc_id IN (SELECT doc_id FROM documents $docWhere) "
-         else if (conjunctive) "WHERE doc_id IN (SELECT doc_id FROM conj) "
-         else ""
+       |FROM sc ${
+         val conds = Seq(
+           if (docWhere.nonEmpty)
+             Some(s"doc_id IN (SELECT doc_id FROM documents $docWhere)")
+           else None,
+           if (conjunctive) Some("doc_id IN (SELECT doc_id FROM conj)")
+           else None,
+           if (exclTerms.nonEmpty)
+             Some("doc_id NOT IN (SELECT doc_id FROM excl)")
+           else None).flatten
+         if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", " ")
        }GROUP BY doc_id $finalOrder""".stripMargin
   }
 
@@ -800,6 +811,25 @@ object SparkEntry {
       graft.query.BlockMaxTopK.query(idx, IndexCache.blocks(s, dir),
         "spar merge", BM25(), k = 200, blockSize = IndexCache.BlockSize,
         docFilter = Some(matchAll))
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // BOOLEAN NOT (exclusion) — the third boolean leg (OR is the default,
+    // AND is q55): "spar merge" NOT "window", the exclusion realized as a
+    // derived docFilter (match set anti-join) through the WAND block path.
+    // The exclusion binds hard at sf0.01 (465 matching docs → 95 after
+    // NOT), so a filter applied too late (after the top-k cut) or dropped
+    // breaks rows, and θ leaking from an excluded doc would over-prune.
+    // Oracle = the same lossless-top-k SQL with the identical
+    // NOT IN (prefix match set) restriction.
+    "q64_bm25_not" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val allowed = QueryEngine.exclusionFilter(idx, "spar merge", "window")
+      graft.query.BlockMaxTopK.query(idx, IndexCache.blocks(s, dir),
+        "spar merge", BM25(), k = 200, blockSize = IndexCache.BlockSize,
+        docFilter = Some(allowed))
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id").asc)
         .limit(20)
@@ -1856,6 +1886,13 @@ object SparkEntry {
     "q55_bm25_conjunctive" -> bm25Sql(Seq("spar", "merge"), "",
       finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20",
       conjunctive = true),
+
+    // boolean NOT: q24's lossless-WAND oracle restricted to docs with NO
+    // prefix expansion of the exclusion term (the engine's matchedDocs
+    // anti-join recomputed as NOT IN over the same posting relation)
+    "q64_bm25_not" -> bm25Sql(Seq("spar", "merge"), "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20",
+      exclTerms = Seq("window")),
 
     "q26_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,

@@ -505,6 +505,32 @@ object QueryEngine {
     cand.select(col("doc_id")).distinct()
   }
 
+  /** BOOLEAN NOT (exclusion) as a derived [[query]] `docFilter` — the third
+    * leg of the boolean algebra next to the default disjunction and
+    * [[conjunctiveFilter]] (AND): the query's match set MINUS the exclusion
+    * query's match set (`-term` / `must_not` in search-syntax terms; the
+    * reference engine is disjunction-only, so this is a pure extension).
+    * Both sides are [[matchedDocs]] — the same two-tier resolution and
+    * bucket/term-pruned scans the scoring paths use — composed with one
+    * anti-join. `query(q, m, docFilter = Some(exclusionFilter(idx, q, ex)))`
+    * is the NOT query, and the same frame drops into [[BlockMaxTopK.query]]
+    * unchanged: removing docs can only lower the true top-k threshold the
+    * θ-probe seeds (the probe scores allowed docs only, via the shared
+    * `scoreCandidates` seam), so WAND pruning stays sound exactly as for
+    * filtered search.
+    *
+    * Scale shape: two term-pruned scans (never the full posting store) and
+    * one anti-join on the query's own match set — bounded by the query
+    * terms' df, not corpus size. An exclusion query with no live expansion
+    * excludes nothing (NOT of an unmatched term is a no-op).
+    */
+  def exclusionFilter(idx: InvertedIndex, queryString: String,
+      excludeQuery: String, maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame =
+    matchedDocs(idx, queryString, maxCollectedExpansions, tokenizer)
+      .join(matchedDocs(idx, excludeQuery, maxCollectedExpansions, tokenizer),
+        Seq("doc_id"), "left_anti")
+
   /** FACET COUNTS over a query's match set — the results-page sidebar
     * ("source: src1 (12), src2 (7), …"): for each value of `facetCol`
     * among matching documents, the matching-doc count. One term-pruned

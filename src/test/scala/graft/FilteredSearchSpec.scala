@@ -133,6 +133,33 @@ class FilteredSearchSpec extends TestBase {
     idx.unpersist(); blocks.unpersist()
   }
 
+  test("exclusion (NOT) = match-set difference; composes through both paths") {
+    val src = SourceCodeGen.generate(spark, 900)
+    val idx = IndexBuilder.build(src, "doc_id", Seq("content", "path")).cached()
+    val blocks = PostingBlocks.fromPostings(idx.postings, 2, blockSize = 128).cache()
+    // ground truth from first principles: docs in the query's result set
+    // but NOT in the exclusion query's (each queried alone)
+    val m = results(QueryEngine.query(idx, "import ident1", BM25())).map(_._1).toSet
+    val x = results(QueryEngine.query(idx, "val", BM25())).map(_._1).toSet
+    val want = m diff x
+    val f = QueryEngine.exclusionFilter(idx, "import ident1", "val")
+    assert(f.collect().map(_.getLong(0)).toSet == want && want.nonEmpty)
+    assert(x.exists(m), "exclusion must bind (some doc matches both)")
+    val disj = results(QueryEngine.query(idx, "import ident1", BM25()))
+    val not = results(QueryEngine.query(idx, "import ident1", BM25(),
+      docFilter = Some(f)))
+    assert(not == disj.filter { case (id, _) => want(id) } && not.nonEmpty)
+    val wand = results(BlockMaxTopK.query(idx, blocks, "import ident1", BM25(),
+      k = 10, blockSize = 128, docFilter = Some(f)))
+    val exact = results(QueryEngine.query(idx, "import ident1", BM25(),
+      limit = 10, docFilter = Some(f)))
+    assert(wand == exact, "NOT through WAND != NOT through exhaustive")
+    // NOT of an unmatched exclusion query is a no-op
+    val noop = QueryEngine.exclusionFilter(idx, "import ident1", "zzznope")
+    assert(noop.collect().map(_.getLong(0)).toSet == m)
+    idx.unpersist(); blocks.unpersist()
+  }
+
   test("filtered ANN == unfiltered probe candidates restricted (persisted index)") {
     import spark.implicits._
     val root = s"/tmp/graft_test_filtered_ann_${System.nanoTime()}"
