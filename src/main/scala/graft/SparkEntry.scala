@@ -314,12 +314,17 @@ object SparkEntry {
       finalOrder: String = "ORDER BY doc_id",
       toksCte: String = ToksCte, fuzzy: Boolean = false,
       docWhere: String = "", conjunctive: Boolean = false,
-      qtSelect: String = "", exclTerms: Seq[String] = Nil): String = {
+      qtSelect: String = "", exclTerms: Seq[String] = Nil,
+      explainTopK: Int = 0, qpairs: Seq[(Int, String)] = Nil): String = {
     // qtSelect replaces the literal query-term VALUES with a COMPUTED
     // (qti, qterm) select — q61's more-like-this derives its query terms
     // from the data (the seed doc's tf-idf top terms)
-    val qvals = qterms.zipWithIndex
-      .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+    // qpairs (synonym mode): explicit (qti, variant) rows — several
+    // variants may share one query-term slot, merged by the same
+    // per-(doc, qti) max as everywhere else
+    val qvals =
+      if (qpairs.nonEmpty) qpairs.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      else qterms.zipWithIndex.map { case (t, i) => s"($i, '$t')" }.mkString(", ")
     // fuzzy mode (q49): Levenshtein-1 expansion instead of prefix, and the
     // edit-distance boost generalization (equal to the prefix formula on
     // prefix pairs — see graft.score.BM25 scaladoc)
@@ -350,13 +355,27 @@ object SparkEntry {
        |  ln(1 + ((st.n - least(st.n, e.df)) + 0.5) / (least(st.n, e.df) + 0.5)) AS idf,
        |  $boostExpr AS boost
        |  FROM exp e, stats st),
-       |sc AS (SELECT p.doc_id, s.qti,
-       |  max(((1.2 + 1.0) * p.tf) /
-       |      (1.2 * ((1.0 - 0.75) + 0.75 * (d.fl / (st.s * 1.0 / st.n))) + p.tf)
-       |      * s.idf * s.boost) AS mts
-       |  FROM post p JOIN esc s ON p.term = s.eterm
-       |  JOIN doclen d ON d.doc_id = p.doc_id, stats st
-       |  GROUP BY p.doc_id, s.qti)${if (!conjunctive) ""
+       |${if (explainTopK > 0)
+         // explain mode keeps the per-expansion score (scx) so the final
+         // select can pick each (doc, qti)'s winning expansion; sc stays
+         // the same max-grouped relation the normal mode computes directly
+         """scx AS (SELECT p.doc_id, s.qti, s.eterm,
+           |  ((1.2 + 1.0) * p.tf) /
+           |      (1.2 * ((1.0 - 0.75) + 0.75 * (d.fl / (st.s * 1.0 / st.n))) + p.tf)
+           |      * s.idf * s.boost AS ets
+           |  FROM post p JOIN esc s ON p.term = s.eterm
+           |  JOIN doclen d ON d.doc_id = p.doc_id, stats st),
+           |sc AS (SELECT doc_id, qti, max(ets) AS mts FROM scx
+           |  GROUP BY doc_id, qti)""".stripMargin
+       else
+         """sc AS (SELECT p.doc_id, s.qti,
+           |  max(((1.2 + 1.0) * p.tf) /
+           |      (1.2 * ((1.0 - 0.75) + 0.75 * (d.fl / (st.s * 1.0 / st.n))) + p.tf)
+           |      * s.idf * s.boost) AS mts
+           |  FROM post p JOIN esc s ON p.term = s.eterm
+           |  JOIN doclen d ON d.doc_id = p.doc_id, stats st
+           |  GROUP BY p.doc_id, s.qti)""".stripMargin
+       }${if (!conjunctive) ""
          else s""",
            |conj AS (SELECT p.doc_id FROM post p JOIN exp e ON p.term = e.eterm
            |        GROUP BY p.doc_id HAVING count(DISTINCT e.qti) = ${qterms.length})""".stripMargin
@@ -365,8 +384,7 @@ object SparkEntry {
            |excl AS (SELECT DISTINCT doc_id FROM post WHERE ${
              exclTerms.map(t => s"term LIKE '$t%'").mkString(" OR ")})""".stripMargin
        }
-       |SELECT doc_id, CAST(round(sum(mts) * 1000000.0) AS BIGINT) AS score_micro
-       |FROM sc ${
+       |${
          val conds = Seq(
            if (docWhere.nonEmpty)
              Some(s"doc_id IN (SELECT doc_id FROM documents $docWhere)")
@@ -376,8 +394,30 @@ object SparkEntry {
            if (exclTerms.nonEmpty)
              Some("doc_id NOT IN (SELECT doc_id FROM excl)")
            else None).flatten
-         if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", " ")
-       }GROUP BY doc_id $finalOrder""".stripMargin
+         val where =
+           if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", " ")
+         if (explainTopK > 0)
+           // per-(doc, qti) breakdown for the top-k docs: winner = the
+           // expansion with the highest micro-rounded score, term asc on
+           // ties — the identical deterministic argmax the engine applies
+           s""", topk AS (SELECT doc_id FROM sc $where
+             |  GROUP BY doc_id
+             |  ORDER BY CAST(round(sum(mts) * 1000000.0) AS BIGINT) DESC,
+             |    doc_id ASC LIMIT $explainTopK)
+             |SELECT x.doc_id, x.qti, qt.qterm AS qterm,
+             |  x.eterm AS best_term, x.ets_micro AS term_score_micro
+             |FROM (SELECT doc_id, qti, eterm,
+             |        CAST(round(ets * 1000000.0) AS BIGINT) AS ets_micro,
+             |        row_number() OVER (PARTITION BY doc_id, qti
+             |          ORDER BY CAST(round(ets * 1000000.0) AS BIGINT) DESC,
+             |            eterm ASC) AS rn
+             |      FROM scx WHERE doc_id IN (SELECT doc_id FROM topk)) x
+             |JOIN qt ON qt.qti = x.qti
+             |WHERE x.rn = 1 ORDER BY x.doc_id, x.qti""".stripMargin
+         else
+           s"""SELECT doc_id, CAST(round(sum(mts) * 1000000.0) AS BIGINT) AS score_micro
+             |FROM sc ${where}GROUP BY doc_id $finalOrder""".stripMargin
+       }""".stripMargin
   }
 
   private val ShinglesCte =
@@ -833,6 +873,61 @@ object SparkEntry {
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id").asc)
         .limit(20)
+    }),
+
+    // SCORE EXPLANATION — the "why does this doc rank here" breakdown for
+    // the top-20 docs of "spar merge": per (doc, query term) the winning
+    // expansion and its contribution (Σ contributions == the doc's BM25
+    // score — the merge rule made visible). The top-20 doc SET is cut by
+    // (micro score desc, doc_id asc) over the FULL result on both sides —
+    // the oracle's own rule, no lossless-cut assumption — and the
+    // winning-expansion argmax is micro-rounded with term-asc ties, so the
+    // hash pins the full breakdown: a wrong idf, boost, or tf-norm in any
+    // single expansion flips best_term or term_score_micro.
+    "q65_explain" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val top = QueryEngine.query(idx, "spar merge", BM25())
+        .select(col("doc_id"), micro(col("score")).as("sm"))
+        .orderBy(col("sm").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"))
+      QueryEngine.explain(idx, "spar merge", BM25(), docFilter = Some(top))
+        .select(col("doc_id"), col("qti"), col("qterm"), col("best_term"),
+          micro(col("term_score")).as("term_score_micro"))
+        .orderBy(col("doc_id").asc, col("qti").asc)
+    }),
+
+    // SYNONYM expansion — "spar merge" with merge ≡ join: both variants
+    // share query-term slot 1, so a doc containing only "join" now
+    // matches, and a doc containing both scores max(merge, join) for the
+    // slot — NOT the sum (a sum-shaped bug inflates every both-variant
+    // doc's hash). The synonym binds hard: "join" is the corpus's hottest
+    // term, so the match set grows vs q05's and the added docs carry
+    // join-derived scores the oracle recomputes independently.
+    "q67_synonyms" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      QueryEngine.synonymQuery(idx, "spar merge",
+          Map("merge" -> Seq("join")), BM25())
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SEARCH-AFTER (cursor pagination) — PAGE 2 of "spar merge" at page
+    // size 20: page 1's last row becomes the cursor, and the page-2 rows
+    // must be exactly ranks 21–40 of the full (micro score desc, doc_id
+    // asc) order — the oracle recomputes them as LIMIT 20 OFFSET 20 over
+    // the same total order, so a cursor predicate that overlaps page 1,
+    // skips a tied doc, or breaks ties differently shifts the whole page
+    // and breaks the hash.
+    "q66_search_after" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val page1 = QueryEngine.searchAfter(idx, "spar merge", BM25(),
+        Long.MaxValue, Long.MinValue, 20)
+        .select(micro(col("score")).as("sm"), col("doc_id")).collect()
+      val cursor = page1.last
+      QueryEngine.searchAfter(idx, "spar merge", BM25(),
+        cursor.getLong(0), cursor.getLong(1), 20)
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
     }),
 
     // FILTERED ANN over the persisted vector index: candidates are
@@ -1893,6 +1988,20 @@ object SparkEntry {
     "q64_bm25_not" -> bm25Sql(Seq("spar", "merge"), "",
       finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20",
       exclTerms = Seq("window")),
+
+    // score explanation: the SAME pipeline kept at per-expansion grain
+    // (scx), top-20 doc cut by (micro score, doc_id), then each
+    // (doc, qti)'s winning expansion by (micro score desc, term asc)
+    "q65_explain" -> bm25Sql(Seq("spar", "merge"), "", explainTopK = 20),
+
+    // search-after page 2 == ranks 21-40 of the same total order
+    "q66_search_after" -> bm25Sql(Seq("spar", "merge"), "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20 OFFSET 20"),
+
+    // synonyms: merge and join share qti 1 — the per-(doc, qti) max in
+    // the shared sc CTE IS the synonym merge rule
+    "q67_synonyms" -> bm25Sql(Nil, "",
+      qpairs = Seq((0, "spar"), (1, "merge"), (1, "join"))),
 
     "q26_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,

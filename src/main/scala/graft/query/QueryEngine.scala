@@ -91,14 +91,31 @@ object QueryEngine {
       return queryFuzzy(idx, qterms, raw.length, model, fb, limit,
         maxCollectedExpansions, maxEdits, docFilter = docFilter)
 
-    resolveExpansionsCollected(idx, qterms, maxCollectedExpansions) match {
-      case Some((rows, buckets)) =>
-        if (rows.isEmpty) return emptyResult(spark)
-        val cand0 = idx.livePostings
-          .filter(candidatePredicate(idx, rows.map(_._3).distinct, buckets))
-        val expDf = rows.toDF("qti", "qterm", "exp_term", "df")
-        scoreCandidates(idx, cand0, expDf, model, fb, raw.length, limit,
+    prefixCandExp(idx, qterms, maxCollectedExpansions) match {
+      case None => emptyResult(spark)
+      case Some((cand0, exp)) =>
+        scoreCandidates(idx, cand0, exp, model, fb, raw.length, limit,
           docFilter)
+    }
+  }
+
+  /** Prefix-expansion resolution shared by [[query]] and [[explain]]: the
+    * (candidate postings, expansion table) pair, via the two-tier plan —
+    * collected bucket/term-IN partition-pruned scan when the expansion set
+    * fits `cap`; the `startsWith`-scan DataFrame fallback (with the
+    * tombstone live-df recount) when over. None ⇔ no term matches anything.
+    */
+  private def prefixCandExp(idx: InvertedIndex, qterms: Seq[(Int, String)],
+      cap: Int): Option[(DataFrame, DataFrame)] = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    resolveExpansionsCollected(idx, qterms, cap) match {
+      case Some((rows, buckets)) =>
+        if (rows.isEmpty) None
+        else Some((
+          idx.livePostings
+            .filter(candidatePredicate(idx, rows.map(_._3).distinct, buckets)),
+          rows.toDF("qti", "qterm", "exp_term", "df")))
 
       case None =>
         // unbounded expansion (over the collect cap): keep everything as
@@ -118,8 +135,60 @@ object QueryEngine {
             exp.drop("df").join(liveDf, col("exp_term") === col("term"))
               .select(col("qti"), col("qterm"), col("exp_term"), col("ldf").as("df"))
           } else exp
-        scoreCandidates(idx, cand0, expLive, model, fb, raw.length, limit,
-          docFilter)
+        Some((cand0, expLive))
+    }
+  }
+
+  /** Score EXPLANATION — the "why does this doc rank here" surface every
+    * search deployment ships: for each matched (doc, query term), the
+    * winning expansion term and its contribution, such that
+    * Σ term_score == [[query]]'s score for that doc (BM25's merge rule IS
+    * Σ_queryTerms max_expansions, so the breakdown is the scoring pipeline
+    * stopped before the final sum — see
+    * [[graft.score.ScoreModel.termContributions]]; models without a
+    * per-term decomposition throw). Output: `(doc_id, qti, qterm,
+    * best_term, term_score)`, ordered (doc_id asc, qti asc).
+    *
+    * `k > 0` restricts the breakdown to [[query]]'s top-k docs;
+    * `docFilter` composes like everywhere else (the breakdown of a
+    * filtered/conjunctive/NOT query is the same call with that filter).
+    * Scale shape: identical to [[query]] — same two-tier resolution via
+    * [[prefixCandExp]], same pruned scans; the window runs per (doc, qti)
+    * on the already-pruned candidate join, and under `k > 0` on k docs.
+    */
+  def explain(idx: InvertedIndex, queryString: String, model: ScoreModel,
+      k: Int = -1, boosts: Seq[Double] = Nil,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      docFilter: Option[DataFrame] = None): DataFrame = {
+    val spark = idx.postings.sparkSession
+    val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
+    require(fb.size == idx.numFields, "one boost per field")
+    val raw = tokenizer(queryString)
+    val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
+    def none = emptyFrame(spark, "doc_id" -> LongType, "qti" -> IntegerType,
+      "qterm" -> StringType, "best_term" -> StringType,
+      "term_score" -> DoubleType)
+    if (qterms.isEmpty) return none
+    prefixCandExp(idx, qterms, maxCollectedExpansions) match {
+      case None => none
+      case Some((cand, exp)) =>
+        val cand1 = docFilter.fold(cand) { f =>
+          require(f.columns.contains("doc_id"), "docFilter needs a doc_id column")
+          cand.join(f.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        }
+        val cand2 =
+          if (k > 0)
+            cand1.join(
+              scoreCandidates(idx, cand, exp, model, fb, raw.length, k,
+                docFilter).select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+          else cand1
+        val stats = idx.fieldStats()
+        val joined = cand2.join(broadcast(model.expansionColumns(exp, stats)),
+          col("term") === col("exp_term"))
+        model.termContributions(joined, stats, fb, idx.numFields)
+          .orderBy(col("doc_id").asc, col("qti").asc)
     }
   }
 
@@ -477,6 +546,86 @@ object QueryEngine {
     query(idx, phrase, model, boosts, limit, tokenizer = tokenizer,
       docFilter = Some(phraseFilter(idx, docs, docIdCol, fieldCols, phrase,
         tokenizer, tokensCol)))
+
+  /** SYNONYM-EXPANDED query: each query term matches ITSELF plus its
+    * synonym variants, all under the SAME query-term slot (qti) — so the
+    * max-merge scores every doc by its best-matching variant and synonyms
+    * can never double-count (a doc containing both "merge" and its synonym
+    * "join" contributes max(merge-score, join-score) for that slot, not
+    * the sum). A variant's expansion boost is computed against the VARIANT
+    * (an exact variant hit boosts 1.0): a synonym scores as if the user
+    * had typed it, which is the standard analyzer-time synonym semantics.
+    * The reference has no synonym surface; this is a pure extension riding
+    * [[prefixCandExp]] + [[scoreCandidates]] unchanged — the variant list
+    * only widens the (qti, qterm) pairs, so the two-tier pruned resolution,
+    * tombstone live-df recount, `docFilter` seam, and collect-cap fallback
+    * all apply as-is. Scale shape: identical to [[query]] with a few more
+    * query-side rows (still broadcast-tiny).
+    *
+    * Best suited to max-merge models (BM25); zero-to-one's greedy df-pool
+    * treats each variant as its own pool node, which is well-defined but
+    * not the reference's single-term semantics.
+    */
+  def synonymQuery(idx: InvertedIndex, queryString: String,
+      synonyms: Map[String, Seq[String]], model: ScoreModel,
+      boosts: Seq[Double] = Nil, limit: Int = -1,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      docFilter: Option[DataFrame] = None): DataFrame = {
+    val spark = idx.postings.sparkSession
+    val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
+    require(fb.size == idx.numFields, "one boost per field")
+    val raw = tokenizer(queryString)
+    val qterms = raw.zipWithIndex
+      .collect { case (t, i) if t.nonEmpty => (i, t) }
+      .flatMap { case (i, t) =>
+        (t +: synonyms.getOrElse(t, Nil).filter(_.nonEmpty).toIndexedSeq)
+          .distinct.map(v => (i, v))
+      }
+    if (qterms.isEmpty) return emptyResult(spark)
+    prefixCandExp(idx, qterms, maxCollectedExpansions) match {
+      case None => emptyResult(spark)
+      case Some((cand, exp)) =>
+        scoreCandidates(idx, cand, exp, model, fb, raw.length, limit,
+          docFilter)
+    }
+  }
+
+  /** SEARCH-AFTER (cursor pagination) — deep paging without the offset
+    * blow-up: page N+1 is the top-k of the result set strictly AFTER the
+    * cursor `(afterScoreMicro, afterDocId)` in the canonical page order.
+    * The production shape for "give me page 400": an `OFFSET 8000` plan
+    * must materialize and discard 8000 rows per page; the cursor predicate
+    * filters BELOW the top-k sort instead, so every page is the same
+    * one-pass `TakeOrderedAndProject` over the pruned candidate scan —
+    * page cost is flat in page depth.
+    *
+    * The cursor lives in MICRO-UNIT space (`round(score·1e6)` as a long,
+    * the engine's canonical wire encoding of scores): float cursors don't
+    * survive serialization/JSON round-trips, and a client holds the cursor
+    * between requests. Page order is therefore (score_micro desc, doc_id
+    * asc) — a total order, so pages tile the result set exactly: no
+    * overlap, no gap, stable across re-execution. First page = cursor
+    * `(Long.MaxValue, Long.MinValue)`. Composes with `docFilter` like
+    * every other surface. Returns `(doc_id, score)` with the page's
+    * ordering.
+    */
+  def searchAfter(idx: InvertedIndex, queryString: String, model: ScoreModel,
+      afterScoreMicro: Long, afterDocId: Long, k: Int,
+      boosts: Seq[Double] = Nil, maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      docFilter: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, "searchAfter needs a positive page size")
+    val sm = round(col("score") * lit(1e6)).cast("long")
+    query(idx, queryString, model, boosts, limit = -1,
+        maxCollectedExpansions, tokenizer, docFilter = docFilter)
+      .withColumn("_sm", sm)
+      .filter(col("_sm") < lit(afterScoreMicro) ||
+        (col("_sm") === lit(afterScoreMicro) && col("doc_id") > lit(afterDocId)))
+      .orderBy(col("_sm").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
 
   /** The MATCH SET of a query: distinct live `doc_id`s containing at least
     * one expansion of at least one query term — exactly the doc set

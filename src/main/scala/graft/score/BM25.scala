@@ -105,20 +105,49 @@ final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends ScoreModel {
       boosts: Seq[Double], numFields: Int): DataFrame =
     scoreKeyed(joined, stats, boosts, numFields, Seq("qid"))
 
-  /** The scoring pipeline, grouped by `keys :+ doc_id`: one code path for
-    * the single-query and batched shapes, so they cannot drift.
+  /** Per-(posting, expansion) term score — the shared column every scoring
+    * shape (single, batched, explain) is built from, so they cannot drift:
+    * Σ_fields tfn·idf·boost_x·eboost (bm25.rs:60-93).
     */
-  private def scoreKeyed(joined: DataFrame, stats: FieldStats,
-      boosts: Seq[Double], numFields: Int, keys: Seq[String]): DataFrame = {
-    val perField: Seq[Column] = (0 until numFields).map { x =>
+  private def termScoreCol(stats: FieldStats, boosts: Seq[Double],
+      numFields: Int): Column =
+    (0 until numFields).map { x =>
       val tf = element_at(col("tf"), x + 1).cast("double")
       val fl = element_at(col("fl"), x + 1).cast("double")
       val tfn = (lit(k1 + 1.0) * tf) /
         (lit(k1) * (lit(1.0 - b) + lit(b) * (fl / lit(stats.avgs(x)))) + tf)
       when(tf > 0, tfn * col("idf") * lit(boosts(x)) * col("eboost"))
         .otherwise(lit(0.0))
-    }
-    val termScore = perField.reduce(_ + _)
+    }.reduce(_ + _)
+
+  /** BM25's score IS Σ_queryTerms max_expansions, so the per-term breakdown
+    * is the scoring pipeline stopped before the final sum: for each
+    * (doc, qti) the winning expansion row, chosen by (micro-rounded term
+    * score desc, exp_term asc) — the micro rounding makes the argmax stable
+    * across engines when two expansions score within 1e-6 (the external
+    * oracle applies the identical rule).
+    */
+  override def termContributions(joined: DataFrame, stats: FieldStats,
+      boosts: Seq[Double], numFields: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("qti"))
+      .orderBy(round(col("_ts") * lit(1e6)).cast("long").desc,
+        col("exp_term").asc)
+    joined
+      .withColumn("_ts", termScoreCol(stats, boosts, numFields))
+      .filter(col("_ts") > 0)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("qti"), col("qterm"),
+        col("exp_term").as("best_term"), col("_ts").as("term_score"))
+  }
+
+  /** The scoring pipeline, grouped by `keys :+ doc_id`: one code path for
+    * the single-query and batched shapes, so they cannot drift.
+    */
+  private def scoreKeyed(joined: DataFrame, stats: FieldStats,
+      boosts: Seq[Double], numFields: Int, keys: Seq[String]): DataFrame = {
+    val termScore = termScoreCol(stats, boosts, numFields)
     val keyCols = keys.map(col) :+ col("doc_id")
     joined
       .withColumn("_ts", termScore)

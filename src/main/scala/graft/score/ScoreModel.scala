@@ -52,6 +52,23 @@ trait ScoreModel {
     throw new UnsupportedOperationException(
       s"${getClass.getSimpleName} does not implement batched scoring")
 
+  /** Score EXPLANATION ([[graft.query.QueryEngine.explain]]): per-(doc,
+    * query-term) contribution breakdown — for each matched (doc_id, qti),
+    * the winning expansion term and its term score, such that the doc's
+    * [[score]] equals the sum of its term scores. Input rows are the same
+    * (postings ⋈ expansions) frame [[score]] consumes. Output:
+    * `(doc_id: long, qti: int, qterm, best_term, term_score: double)`.
+    * Ties between expansions are broken (term_score micro-rounded desc,
+    * best_term asc) so the winner is deterministic and stable across
+    * engines. Only models whose final score decomposes as
+    * Σ_queryTerms max_expansions (BM25's merge rule) can implement this;
+    * zero-to-one's holistic greedy finalize does not decompose per term.
+    */
+  def termContributions(joined: DataFrame, stats: FieldStats,
+      boosts: Seq[Double], numFields: Int): DataFrame =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} has no per-term score decomposition")
+
   /** Block-max pruning hook ([[graft.query.BlockMaxTopK]]): an upper bound
     * on the PER-EXPANSION term score of any document in a posting block,
     * as a column over (block metadata `max_tf`/`min_fl: array<int>` ⋈ this model's
