@@ -40,6 +40,24 @@ object R5PlanAudit {
     println("=== facetCounts(source, 'spar merge') ===")
     QueryEngine.facetCounts(idx, docs, "doc_id", "source", "spar merge")
       .explain("formatted")
+
+    println("=== explain('spar merge', k=20) ===")
+    QueryEngine.explain(idx, "spar merge", BM25(), k = 20)
+      .explain("formatted")
+
+    println("=== searchAfter('spar merge', page 2) ===")
+    QueryEngine.searchAfter(idx, "spar merge", BM25(),
+      afterScoreMicro = 1000000L, afterDocId = 0L, k = 20)
+      .explain("formatted")
+
+    println("=== synonymQuery('spar merge', merge->join) ===")
+    QueryEngine.synonymQuery(idx, "spar merge",
+      Map("merge" -> Seq("join")), BM25()).explain("formatted")
+
+    println("=== NOT: query with exclusionFilter('window') ===")
+    QueryEngine.query(idx, "spar merge", BM25(), limit = 20,
+      docFilter = Some(QueryEngine.exclusionFilter(idx, "spar merge", "window")))
+      .explain("formatted")
     spark.stop()
   }
 }

@@ -49,6 +49,21 @@ class PaginationSpec extends TestBase {
     idx.unpersist()
   }
 
+  test("a page is one top-k run: cursor filter below TakeOrderedAndProject") {
+    val src = SourceCodeGen.generate(spark, 400)
+    val idx = IndexBuilder.build(src, "doc_id", Seq("content", "path")).cached()
+    val page = QueryEngine.searchAfter(idx, "import ident1", BM25(),
+      1000000L, 0L, 10)
+    val plan = page.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"page must be a top-k run, not a global sort:\n$plan")
+    // the inner query's full sort must be eliminated under the page's
+    // top-k (EliminateSorts) — a surviving global Sort means every page
+    // pays a full result-set sort
+    assert(!plan.contains("Sort "), s"global sort survived:\n$plan")
+    idx.unpersist()
+  }
+
   test("docFilter composes: filtered pages tile the filtered order") {
     val src = SourceCodeGen.generate(spark, 500)
     val idx = IndexBuilder.build(src, "doc_id", Seq("content", "path")).cached()
