@@ -315,7 +315,8 @@ object SparkEntry {
       toksCte: String = ToksCte, fuzzy: Boolean = false,
       docWhere: String = "", conjunctive: Boolean = false,
       qtSelect: String = "", exclTerms: Seq[String] = Nil,
-      explainTopK: Int = 0, qpairs: Seq[(Int, String)] = Nil): String = {
+      explainTopK: Int = 0, qpairs: Seq[(Int, String)] = Nil,
+      minMatch: Int = 0, exactExp: Boolean = false): String = {
     // qtSelect replaces the literal query-term VALUES with a COMPUTED
     // (qti, qterm) select — q61's more-like-this derives its query terms
     // from the data (the seed doc's tf-idf top terms)
@@ -329,7 +330,8 @@ object SparkEntry {
     // edit-distance boost generalization (equal to the prefix formula on
     // prefix pairs — see graft.score.BM25 scaladoc)
     val expJoin =
-      if (fuzzy) "levenshtein(tdf.term, qt.qterm) <= 1"
+      if (exactExp) "tdf.term = qt.qterm"
+      else if (fuzzy) "levenshtein(tdf.term, qt.qterm) <= 1"
       else "tdf.term LIKE qt.qterm || '%'"
     val boostExpr =
       if (fuzzy)
@@ -375,10 +377,17 @@ object SparkEntry {
            |  FROM post p JOIN esc s ON p.term = s.eterm
            |  JOIN doclen d ON d.doc_id = p.doc_id, stats st
            |  GROUP BY p.doc_id, s.qti)""".stripMargin
-       }${if (!conjunctive) ""
+       }${
+         // conj doubles as the minimum-should-match set: `= n` for AND,
+         // `>= m` for m-of-n (the engine's minMatchFilter threshold)
+         val conjHaving =
+           if (conjunctive) s"= ${qterms.length}"
+           else if (minMatch > 0) s">= $minMatch"
+           else ""
+         if (conjHaving.isEmpty) ""
          else s""",
            |conj AS (SELECT p.doc_id FROM post p JOIN exp e ON p.term = e.eterm
-           |        GROUP BY p.doc_id HAVING count(DISTINCT e.qti) = ${qterms.length})""".stripMargin
+           |        GROUP BY p.doc_id HAVING count(DISTINCT e.qti) $conjHaving)""".stripMargin
        }${if (exclTerms.isEmpty) ""
          else s""",
            |excl AS (SELECT DISTINCT doc_id FROM post WHERE ${
@@ -389,7 +398,8 @@ object SparkEntry {
            if (docWhere.nonEmpty)
              Some(s"doc_id IN (SELECT doc_id FROM documents $docWhere)")
            else None,
-           if (conjunctive) Some("doc_id IN (SELECT doc_id FROM conj)")
+           if (conjunctive || minMatch > 0)
+             Some("doc_id IN (SELECT doc_id FROM conj)")
            else None,
            if (exclTerms.nonEmpty)
              Some("doc_id NOT IN (SELECT doc_id FROM excl)")
@@ -907,6 +917,57 @@ object SparkEntry {
       val idx = IndexCache.documents(s, dir)
       QueryEngine.synonymQuery(idx, "spar merge",
           Map("merge" -> Seq("join")), BM25())
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MINIMUM-SHOULD-MATCH — "spar merge slow" with m = 2: docs matching at
+    // least 2 of the 3 query-term slots, the standard OR/AND middle ground,
+    // realized as a derived docFilter through the WAND block path. The
+    // threshold binds three ways at sf0.01: m=1 admits single-term docs,
+    // m=3 (AND) drops two-of-three docs — so an off-by-one in the HAVING
+    // comparison or a filter dropped on the WAND path breaks rows. Oracle =
+    // the same lossless-top-k SQL with count(DISTINCT qti) >= 2.
+    "q68_bm25_minmatch" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val allowed = QueryEngine.minMatchFilter(idx, "spar merge slow", 2)
+      graft.query.BlockMaxTopK.query(idx, IndexCache.blocks(s, dir),
+        "spar merge slow", BM25(), k = 200, blockSize = IndexCache.BlockSize,
+        docFilter = Some(allowed))
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // REGEX term search — grep over the dictionary, then the ordinary
+    // scoring pipeline: '^s[a-z]+a[a-z]+$' matches {scan, small, spark,
+    // stream} at sf0.01, each an exact-scored variant (boost 1.0) under ONE
+    // slot, per-(doc, slot) max-merged — a doc containing both "scan" and
+    // "stream" scores max, not sum. The pattern is in the java ∩ RE2
+    // dialect so Spark and DuckDB agree verbatim; the oracle computes the
+    // variant set independently via regexp_matches over the term relation
+    // and scores with exact (term =) expansion join.
+    "q69_bm25_regex" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      QueryEngine.regexQuery(idx, "^s[a-z]+a[a-z]+$", BM25())
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SHARD MERGE — the 100-TB build topology under the gate: the corpus is
+    // split by doc-id parity, each half indexed INDEPENDENTLY, the two
+    // shard indexes merged relationally (postings/docstats union, termdict
+    // df re-SUM), and the merged index queried. The oracle scores the FULL
+    // corpus in one pass — so a df double-count, a missed union leg, or
+    // stats folded wrong shifts every idf/avgdl and breaks the hash.
+    "q70_shard_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = IndexBuilder.build(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", Seq("text"))
+      val b = IndexBuilder.build(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", Seq("text"))
+      val idx = InvertedIndex.merge(a, b)
+      QueryEngine.query(idx, "window key", BM25())
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
         .orderBy(col("doc_id"))
     }),
@@ -1988,6 +2049,26 @@ object SparkEntry {
     "q64_bm25_not" -> bm25Sql(Seq("spar", "merge"), "",
       finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20",
       exclTerms = Seq("window")),
+
+    // minimum-should-match: the conj CTE with HAVING >= 2 over the same
+    // expansion join the scoring pipeline uses (m-of-n generalization of
+    // q55's AND)
+    "q68_bm25_minmatch" -> bm25Sql(Seq("spar", "merge", "slow"), "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20",
+      minMatch = 2),
+
+    // regex term search: the variant set recomputed independently
+    // (regexp_matches over the term relation), exact expansion join
+    // (term =, boost 1.0), all variants under slot 0 → the per-(doc, qti)
+    // max in the shared sc CTE IS the regex merge rule
+    "q69_bm25_regex" -> bm25Sql(Nil, "",
+      qtSelect = "SELECT 0 AS qti, term AS qterm FROM tdf " +
+        "WHERE regexp_matches(term, '^s[a-z]+a[a-z]+$')",
+      exactExp = true),
+
+    // shard merge: the oracle is the ONE-PASS full-corpus score — the
+    // merged two-shard index must be indistinguishable from a single build
+    "q70_shard_merge" -> bm25Sql(Seq("window", "key"), ""),
 
     // score explanation: the SAME pipeline kept at per-expansion grain
     // (scx), top-20 doc cut by (micro score, doc_id), then each

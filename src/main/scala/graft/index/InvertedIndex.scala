@@ -93,6 +93,59 @@ final case class InvertedIndex(
 }
 
 object InvertedIndex {
+
+  /** SHARD MERGE — one index over the union of two disjoint-doc-id corpora.
+    * This is the 100-TB build topology: shards are indexed INDEPENDENTLY
+    * (each a bounded, resumable job over its own slice) and merged without
+    * re-tokenizing a single document, because the index is relational:
+    *
+    *  - `postings` / `docstats` / `tombstones`: plain unions — in Spark a
+    *    union is a metadata-only plan node (zero shuffle, zero IO); queries
+    *    on the merged index push the same term/bucket predicates into BOTH
+    *    shards' scans.
+    *  - `termdict`: the ONE piece of cross-shard state. df is an occurrence
+    *    SUM (reference `count_documents` counts pointers,
+    *    /root/reference/src/index.rs:281-297), so the merged df is
+    *    `sum(df)` per term — a vocab-sized aggregate, the only shuffle.
+    *  - `statsHint`: folded arithmetically when both shards carry one
+    *    (N and per-field sums are additive); dropped otherwise.
+    *
+    * Caller contract (as for reference `add_document`'s unique-key rule,
+    * /root/reference/src/index.rs:76-88): the shards' doc_id sets are
+    * disjoint and their field layout + tokenizer match. Column layouts must
+    * agree exactly (both in-memory, or both persisted with the same bucket
+    * hash — `bucket` pruning stays valid because the hash is term-keyed).
+    */
+  def merge(a: InvertedIndex, b: InvertedIndex): InvertedIndex = {
+    require(a.numFields == b.numFields,
+      s"shards disagree on field layout: ${a.numFields} vs ${b.numFields}")
+    require(a.postings.columns.sorted.sameElements(b.postings.columns.sorted),
+      "shards disagree on posting columns (in-memory vs persisted mix?)")
+    val hasBucket = a.termdict.columns.contains("bucket") &&
+      b.termdict.columns.contains("bucket")
+    val dictKeys = if (hasBucket) Seq("term", "bucket") else Seq("term")
+    val dict = a.termdict.select((dictKeys :+ "df").map(col): _*)
+      .unionByName(b.termdict.select((dictKeys :+ "df").map(col): _*))
+      .groupBy(dictKeys.map(col): _*)
+      .agg(sum(col("df")).as("df"))
+    val hasTomb = a.hasTombstones || b.hasTombstones
+    val hint = (a.statsHint, b.statsHint) match {
+      case (Some(x), Some(y)) if !hasTomb =>
+        val sums = x.sums.zip(y.sums).map { case (p, q) => p + q }
+        val n = x.n + y.n
+        Some(FieldStats(n, sums, sums.map(_.toDouble / n.toDouble)))
+      case _ => None
+    }
+    InvertedIndex(
+      postings = a.postings.unionByName(b.postings),
+      docstats = a.docstats.unionByName(b.docstats),
+      termdict = dict,
+      tombstones = a.tombstones.unionByName(b.tombstones),
+      numFields = a.numFields,
+      hasTombstones = hasTomb,
+      statsHint = hint)
+  }
+
   def emptyTombstones(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(

@@ -303,6 +303,28 @@ object QueryEngine {
   def conjunctiveFilter(idx: InvertedIndex, queryString: String,
       maxCollectedExpansions: Int = 4096,
       tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      maxEdits: Int = 0): DataFrame =
+    minMatchFilter(idx, queryString, Int.MaxValue, maxCollectedExpansions,
+      tokenizer, maxEdits)
+
+  /** MINIMUM-SHOULD-MATCH as a derived [[query]] `docFilter`: live documents
+    * matching at least `minMatch` DISTINCT query-term slots (each via any of
+    * its expansions) — the standard middle ground between OR (`minMatch=1`,
+    * the default disjunction) and AND (`minMatch = nTerms`,
+    * [[conjunctiveFilter]]). `minMatch` is clamped to `[1, nTerms]`, so
+    * `Int.MaxValue` means strict conjunction.
+    *
+    * Same plan shape as [[conjunctiveFilter]] (which delegates here): the
+    * term-pruned candidate scan, one `countDistinct(qti)` aggregate with
+    * map-side partials, a `>= m` filter — never the full posting store, and
+    * the result composes through the shared `docFilter` seam on every path
+    * including [[BlockMaxTopK]] (the disjunctive per-range UB dominates
+    * every m-of-n doc's true score, so WAND pruning stays sound).
+    */
+  def minMatchFilter(idx: InvertedIndex, queryString: String,
+      minMatch: Int,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
       maxEdits: Int = 0): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
@@ -310,6 +332,7 @@ object QueryEngine {
     val qterms = raw.zipWithIndex.collect { case (t, i) if t.nonEmpty => (i, t) }
     def none = emptyFrame(spark, "doc_id" -> LongType)
     if (qterms.isEmpty) return none
+    val m = math.max(1, math.min(minMatch, qterms.length))
     // (qti, exp_term) pairs + the matching candidate-scan predicate, via
     // the SAME resolvers as the scoring paths (collected when small; the
     // DataFrame fallback over the cap)
@@ -345,7 +368,7 @@ object QueryEngine {
       .join(pairs, col("term") === col("exp_term"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("qti")).as("nmatched"))
-      .filter(col("nmatched") === lit(qterms.length))
+      .filter(col("nmatched") >= lit(m))
       .select(col("doc_id"))
   }
 
@@ -589,6 +612,108 @@ object QueryEngine {
         scoreCandidates(idx, cand, exp, model, fb, raw.length, limit,
           docFilter)
     }
+  }
+
+  /** REGEX term search: every indexed term matching `pattern` (full-string
+    * Java-regex match, the `java ∩ RE2` dialect recommended so external
+    * engines agree) becomes an EXACT-scored variant under ONE query-term
+    * slot — boost 1.0, as if the user had typed that term (the
+    * [[synonymQuery]] variant semantics), merged by the per-(doc, slot)
+    * max so a doc matching several regex terms scores its best one, never
+    * a sum. The reference's only term algebra is prefix `expand_term`
+    * (/root/reference/src/query.rs:108-147); regex is the standard
+    * generalization (grep-over-the-dictionary, then the ordinary scoring
+    * pipeline).
+    *
+    * Scale shape: the regex runs over the TERM DICTIONARY (vocab-sized,
+    * ≪ corpus), never the posting store; a `^literal…`-anchored pattern is
+    * additionally pre-pruned by [[literalPrefix]] with a `startsWith` scan
+    * predicate. The matched terms then drive the same two-tier resolution
+    * as [[query]]: collected `term IN`/`bucket IN` partition-pruned scan
+    * under `maxCollectedExpansions`, pure-DataFrame `rlike`-predicate scan
+    * over it — and the shared [[scoreCandidates]] tail (tombstone live-df
+    * recount, `docFilter` seam, canonical order).
+    */
+  def regexQuery(idx: InvertedIndex, pattern: String, model: ScoreModel,
+      boosts: Seq[Double] = Nil, limit: Int = -1,
+      maxCollectedExpansions: Int = 4096,
+      docFilter: Option[DataFrame] = None): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
+    require(fb.size == idx.numFields, "one boost per field")
+    // full-string match: Column.rlike is a FIND, so anchor both ends unless
+    // the caller already did (a '^…$' pattern passes through unchanged)
+    val anchored =
+      (if (pattern.startsWith("^")) "" else "^") + pattern +
+        (if (pattern.endsWith("$")) "" else "$")
+    val prefix = literalPrefix(anchored)
+    val dictPred = {
+      val r = col("term").rlike(anchored)
+      if (prefix.nonEmpty) col("term").startsWith(lit(prefix)) && r else r
+    }
+    val bucketCol =
+      if (idx.termdict.columns.contains("bucket")) col("bucket") else lit(-1)
+    val collected = idx.termdict.filter(dictPred)
+      .select(col("term"), col("df").cast("long").as("df"),
+        bucketCol.cast("int").as("bucket"))
+      .limit(maxCollectedExpansions + 1).collect()
+    if (collected.length <= maxCollectedExpansions) {
+      var rows = collected.toSeq
+        .map(r => (0, r.getString(0), r.getString(0), r.getLong(1)))
+      val buckets = collected.map(_.getInt(2)).distinct.toSeq
+      if (idx.hasTombstones && rows.nonEmpty) {
+        val liveDf = recountLiveDf(idx, rows.map(_._3).distinct, buckets)
+        rows = rows.flatMap { case (qti, qterm, eterm, _) =>
+          liveDf.get(eterm).map(d => (qti, qterm, eterm, d))
+        }
+      }
+      if (rows.isEmpty) return emptyResult(spark)
+      val cand = idx.livePostings
+        .filter(candidatePredicate(idx, rows.map(_._3).distinct, buckets))
+      scoreCandidates(idx, cand,
+        rows.toDF("qti", "qterm", "exp_term", "df"), model, fb, 1, limit,
+        docFilter)
+    } else {
+      // over the collect cap: the rlike predicate stays a scan predicate
+      // end-to-end (the q40-style non-collected fallback)
+      val exp0 = idx.termdict.filter(dictPred)
+        .select(lit(0).as("qti"), col("term").as("qterm"),
+          col("term").as("exp_term"), col("df").cast("long").as("df"))
+      val candPred = {
+        val r = col("term").rlike(anchored)
+        if (prefix.nonEmpty) col("term").startsWith(lit(prefix)) && r else r
+      }
+      val cand0 = idx.livePostings.filter(candPred)
+      val exp =
+        if (idx.hasTombstones) {
+          val liveDf = cand0.groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
+          exp0.drop("df").join(liveDf, col("exp_term") === col("term"))
+            .select(col("qti"), col("qterm"), col("exp_term"),
+              col("ldf").as("df"))
+        } else exp0
+      scoreCandidates(idx, cand0, exp, model, fb, 1, limit, docFilter)
+    }
+  }
+
+  /** Longest literal prefix of a `^`-anchored regex — the dictionary-scan
+    * pre-prune for [[regexQuery]]. Conservative: stops at the first regex
+    * metacharacter, and drops the last literal when a quantifier follows it
+    * (in `^spa*` the `a` is optional, so only `sp` is guaranteed). An
+    * unanchored pattern has no guaranteed prefix → "".
+    */
+  private[graft] def literalPrefix(pattern: String): String = {
+    if (!pattern.startsWith("^")) return ""
+    val meta = ".[]{}()*+?|\\^$"
+    val sb = new StringBuilder
+    var i = 1
+    while (i < pattern.length && meta.indexOf(pattern.charAt(i)) < 0) {
+      sb += pattern.charAt(i); i += 1
+    }
+    if (i < pattern.length && "*+?{".indexOf(pattern.charAt(i)) >= 0 &&
+        sb.nonEmpty)
+      sb.setLength(sb.length - 1)
+    sb.toString
   }
 
   /** SEARCH-AFTER (cursor pagination) — deep paging without the offset
@@ -909,17 +1034,25 @@ object QueryEngine {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     val buckets = collected.map(_.getInt(4)).distinct.toSeq
     if (idx.hasTombstones && rows.nonEmpty) {
-      val eterms = rows.map(_._3).distinct
-      val liveDf = idx.livePostings
-        .filter(candidatePredicate(idx, eterms, buckets))
-        .groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val liveDf = recountLiveDf(idx, rows.map(_._3).distinct, buckets)
       rows = rows.flatMap { case (qti, qterm, eterm, _) =>
         liveDf.get(eterm).map(d => (qti, qterm, eterm, d))
       }
     }
     Some((rows, buckets))
   }
+
+  /** Live (tombstone-excluded) df for a collected expansion set — the
+    * occurrence recount the reference does at query time
+    * (/root/reference/src/index.rs:281-297). Bounded: the scan is
+    * term/bucket-pruned and the result is one row per expansion.
+    */
+  private def recountLiveDf(idx: InvertedIndex, eterms: Seq[String],
+      buckets: Seq[Int]): Map[String, Long] =
+    idx.livePostings
+      .filter(candidatePredicate(idx, eterms, buckets))
+      .groupBy(col("term")).agg(sum(col("occ")).as("ldf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Score a candidate-postings DataFrame against a resolved expansion set:
     * the shared tail of the exhaustive path and [[BlockMaxTopK]].

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.index.IndexCatalog
+import graft.index.{IndexBuilder, IndexCatalog, InvertedIndex}
 import graft.query.QueryEngine
 import graft.score.BM25
 
@@ -58,6 +58,23 @@ object R5PlanAudit {
     QueryEngine.query(idx, "spar merge", BM25(), limit = 20,
       docFilter = Some(QueryEngine.exclusionFilter(idx, "spar merge", "window")))
       .explain("formatted")
+
+    println("=== minMatch (2 of 3): query with minMatchFilter ===")
+    QueryEngine.query(idx, "spar merge slow", BM25(), limit = 20,
+      docFilter = Some(QueryEngine.minMatchFilter(idx, "spar merge slow", 2)))
+      .explain("formatted")
+
+    println("=== regexQuery('^s[a-z]+a[a-z]+$') ===")
+    QueryEngine.regexQuery(idx, "^s[a-z]+a[a-z]+$", BM25(), limit = 20)
+      .explain("formatted")
+
+    println("=== shard-merged index: query('window key') ===")
+    val sa = IndexBuilder.build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", Seq("text"))
+    val sb = IndexBuilder.build(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", Seq("text"))
+    QueryEngine.query(InvertedIndex.merge(sa, sb), "window key", BM25(),
+      limit = 20).explain("formatted")
     spark.stop()
   }
 }
