@@ -123,6 +123,35 @@ object IndexCache {
       (idx, blocks, bs, rpg)
     })
 
+  /** PERSISTED SHARD-MERGE lifecycle under the gate (q71): the corpus split
+    * by doc-id parity, each half built as its OWN persisted catalog (the
+    * independent-shard build topology), the two roots merged file-level by
+    * [[graft.index.IndexCatalog.mergeShards]], blocks built over the merged
+    * store, and WAND served from it. Oracle = full-corpus BM25, so a
+    * missed/duplicated shard file, a df mis-sum, or a stats mis-fold
+    * breaks the hash.
+    */
+  private val shardMergeCache = TrieMap.empty[String,
+    (InvertedIndex, org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long, Long)]
+  def documentsShardMerged(spark: SparkSession, dir: String): (InvertedIndex, org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block], Long, Long) =
+    shardMergeCache.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.functions.col
+      val rootA = s"/tmp/graft_gate_shA_${sanitize(dir)}"
+      val rootB = s"/tmp/graft_gate_shB_${sanitize(dir)}"
+      val out = s"/tmp/graft_gate_shM_${sanitize(dir)}"
+      Seq(rootA, rootB, out).foreach(wipe(spark, _))
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      graft.index.IndexCatalog.build(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", Seq("text"), rootA)
+      graft.index.IndexCatalog.build(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", Seq("text"), rootB)
+      val idx = graft.index.IndexCatalog.mergeShards(
+        spark, Seq(rootA, rootB), out)
+      graft.index.IndexCatalog.buildBlocks(spark, out)
+      val (blocks, bs, rpg) = graft.index.IndexCatalog.readBlocks(spark, out)
+      (idx, blocks, bs, rpg)
+    })
+
   /** The INCREMENTAL block-maintenance lifecycle under the gate (q43):
     * build on a subset, build the block table, append the remainder, then
     * `buildBlocks` again — which must FOLD the delta in O(delta)
@@ -970,6 +999,21 @@ object SparkEntry {
       QueryEngine.query(idx, "window key", BM25())
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
         .orderBy(col("doc_id"))
+    }),
+
+    // PERSISTED SHARD MERGE — two independently BUILT catalog roots (doc-id
+    // parity split) merged file-level (postings/docstats copies under the
+    // shared bucket dirs + one vocab-sized df re-sum + a one-row stats
+    // fold), blocks built over the merged store, WAND served from it. The
+    // oracle scores the full corpus in one pass — a missed shard file, a
+    // doubled df, or a mis-folded N/avgdl breaks the hash.
+    "q71_persisted_merge" -> ((s, dir) => {
+      val (idx, blocks, bs, rpg) = IndexCache.documentsShardMerged(s, dir)
+      graft.query.BlockMaxTopK.query(idx, blocks, "table row", BM25(),
+        k = 200, blockSize = bs, rangesPerGroup = rpg)
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
     }),
 
     // SEARCH-AFTER (cursor pagination) — PAGE 2 of "spar merge" at page
@@ -2069,6 +2113,11 @@ object SparkEntry {
     // shard merge: the oracle is the ONE-PASS full-corpus score — the
     // merged two-shard index must be indistinguishable from a single build
     "q70_shard_merge" -> bm25Sql(Seq("window", "key"), ""),
+
+    // persisted shard merge: same one-pass full-corpus oracle, lossless
+    // top-k cut (q24 pattern) since the gated path serves WAND
+    "q71_persisted_merge" -> bm25Sql(Seq("table", "row"), "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20"),
 
     // score explanation: the SAME pipeline kept at per-expansion grain
     // (scx), top-20 doc cut by (micro score, doc_id), then each

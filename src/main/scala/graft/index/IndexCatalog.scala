@@ -904,6 +904,145 @@ object IndexCatalog {
     ()
   }
 
+  /** PERSISTED SHARD MERGE — combine independently built index roots into
+    * one queryable root WITHOUT re-tokenizing, re-aggregating, or shuffling
+    * any corpus-sized data. The 100-TB build topology made durable: shards
+    * are built in parallel (each a bounded resumable [[build]] over its own
+    * corpus slice, possibly on a different cluster), then merged here.
+    *
+    * Why it's cheap: every shard's posting store is hive-partitioned by
+    * the SAME term-hash bucket ([[bucketOf]]), so merging postings (and
+    * docstats/tombstones) is placing both shards' parquet files under the
+    * shared partition dirs — O(#files) filesystem copies (renames on a
+    * production cluster FS), zero compute over postings. The only COMPUTED
+    * artifacts are the merged term dictionary (a vocab-sized `sum(df)`
+    * union — df is the occurrence count, additive across shards) and the
+    * one-row fieldstats fold. Shard append deltas are resolved through the
+    * same readers queries use ([[termdictDf]]/[[fieldstatsRow]]), so the
+    * output always carries a COMPACT dictionary with no delta chain.
+    *
+    * The block table is NOT merged: shard doc-id ranges may interleave
+    * (two shards' `(bucket, rg)` dirs would collide with different doc
+    * subsets), so the merged root starts blockless and [[buildBlocks]]
+    * rebuilds on demand. Deployments that mint disjoint per-shard doc-id
+    * RANGES can lift the shard block files verbatim — the same argument as
+    * the incremental append fold — left as the documented optimization.
+    *
+    * Crash-safe and resumable like [[build]]: `merge.sources` pins the
+    * input set first, each shard's file copy commits a `merge.copied.<i>`
+    * key (copies are overwrite-idempotent under deterministic `s<i>-`
+    * names), termdict/fieldstats ride the standard [[stage]] protocol, and
+    * `published` is the final commit. Re-invoking after a crash at ANY
+    * point resumes; re-invoking after completion is a no-op read.
+    *
+    * Caller contract: shards published, not mid-vacuum, same field layout
+    * + tokenizer + bucket count, disjoint doc_id sets, `out` empty or a
+    * prior attempt over the SAME sources.
+    */
+  def mergeShards(spark: SparkSession, shards: Seq[String],
+      out: String): InvertedIndex = {
+    require(shards.size >= 2, "need at least two shards")
+    val ms = shards.map(r => readManifest(spark, r))
+    ms.zip(shards).foreach { case (m, r) =>
+      require(m.getOrElse("published", "") == "true", s"shard not published: $r")
+      require(m.getOrElse("vacuum.pending", "") != "true",
+        s"shard mid-vacuum (finish it first): $r")
+    }
+    val nf = ms.head("config.numFields")
+    val fields = ms.head("config.fields")
+    val nBuckets = ms.head("config.nBuckets")
+    ms.zip(shards).foreach { case (m, r) =>
+      require(m("config.numFields") == nf && m("config.fields") == fields &&
+        m("config.nBuckets") == nBuckets,
+        s"shard config mismatch at $r (fields/buckets must agree)")
+    }
+    var mo = readManifest(spark, out)
+    if (mo.getOrElse("published", "") == "true") {
+      require(mo.getOrElse("merge.sources", "") == shards.mkString(","),
+        s"$out already holds a different index")
+      return read(spark, out)
+    }
+    if (!mo.contains("merge.sources")) {
+      mo = mo + ("merge.sources" -> shards.mkString(","))
+      writeManifest(spark, out, mo)
+    } else require(mo("merge.sources") == shards.mkString(","),
+      s"$out holds a pending merge of different sources")
+    val f = fs(spark, out)
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // 1. file-level union of the corpus-sized tables. Deterministic
+    // target names (s<i>- prefix keeps shard files distinct under the
+    // shared partition dir) make a resumed copy overwrite its own partial
+    // output instead of duplicating rows.
+    shards.zipWithIndex.foreach { case (r, i) =>
+      if (!mo.contains(s"merge.copied.$i")) {
+        for (table <- Seq("postings", "docstats", "tombstones")) {
+          val src = new Path(s"$r/$table")
+          val sf = fs(spark, r)
+          if (sf.exists(src)) {
+            val it = sf.listFiles(src, true)
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+                val rel = st.getPath.toString.stripPrefix(
+                  sf.makeQualified(src).toString).stripPrefix("/")
+                val dir = rel.lastIndexOf('/') match {
+                  case -1 => ""
+                  case k  => rel.substring(0, k + 1)
+                }
+                val dst = new Path(
+                  s"$out/$table/${dir}s$i-${st.getPath.getName}")
+                org.apache.hadoop.fs.FileUtil.copy(sf, st.getPath, f, dst,
+                  false, true, conf)
+              }
+            }
+          }
+        }
+        mo = mo + (s"merge.copied.$i" -> "true")
+        writeManifest(spark, out, mo)
+      }
+    }
+
+    // 2. merged dictionary: vocab-sized, delta-resolved per shard, df
+    // summed per (term, bucket), term-range-sorted like build's
+    mo = stage(spark, out, "termdict", mo) {
+      shards.zip(ms).map { case (r, m) => termdictDf(spark, r, m) }
+        .reduce(_.unionByName(_))
+        .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"))
+    }
+    // 3. fieldstats: one-row arithmetic fold of the shards' (delta-resolved)
+    // stats rows — additive by construction
+    mo = stage(spark, out, "fieldstats", mo) {
+      val nfi = nf.toInt
+      val rows = shards.zip(ms).map { case (r, m) =>
+        fieldstatsRow(spark, r, m, nfi)
+      }
+      val n = rows.map(_.getLong(0)).sum
+      val cols = lit(n).as("n") +: (0 until nfi).map(i =>
+        lit(rows.map(_.getLong(i + 1)).sum).as(s"s$i"))
+      spark.range(1).select(cols: _*)
+    }
+
+    // 4. lineage + config + publish. Per-bucket lineage is the sum of the
+    // shards' counts (the same invariant build records).
+    if (mo.getOrElse("published", "") != "true") {
+      val perBucket = ms.flatMap(m =>
+        m.getOrElse("lineage.postings", "").split(";").filter(_.nonEmpty)
+          .map { kv => val Array(b, c) = kv.split("="); (b.toInt, c.toLong) })
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+        .map { case (b, c) => s"$b=$c" }.mkString(";")
+      mo = mo + ("lineage.postings" -> perBucket) +
+        ("config.nBuckets" -> nBuckets) +
+        ("config.numFields" -> nf) +
+        ("config.fields" -> fields) +
+        ("published" -> "true")
+      writeManifest(spark, out, mo)
+    }
+    read(spark, out)
+  }
+
   /** Persisted remove, DataFrame-native (reference `remove_document`
     * lazy-delete): the tombstone set is appended as a parquet write of a
     * DISTRIBUTED id set — a predicate-derived removal of 10^11 docs never
