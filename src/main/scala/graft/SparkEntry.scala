@@ -345,7 +345,8 @@ object SparkEntry {
       docWhere: String = "", conjunctive: Boolean = false,
       qtSelect: String = "", exclTerms: Seq[String] = Nil,
       explainTopK: Int = 0, qpairs: Seq[(Int, String)] = Nil,
-      minMatch: Int = 0, exactExp: Boolean = false): String = {
+      minMatch: Int = 0, exactExp: Boolean = false,
+      factorExpr: String = "", factorGroup: String = ""): String = {
     // qtSelect replaces the literal query-term VALUES with a COMPUTED
     // (qti, qterm) select — q61's more-like-this derives its query terms
     // from the data (the seed doc's tf-idf top terms)
@@ -453,6 +454,17 @@ object SparkEntry {
              |      FROM scx WHERE doc_id IN (SELECT doc_id FROM topk)) x
              |JOIN qt ON qt.qti = x.qti
              |WHERE x.rn = 1 ORDER BY x.doc_id, x.qti""".stripMargin
+         else if (factorExpr.nonEmpty)
+           // function-score mode (q74): the raw per-doc sum is multiplied
+           // by a row-attribute factor BEFORE micro rounding — the same
+           // composition point as the engine's Fusion.functionScore
+           // subquery so $finalOrder binds the OUTPUT doc_id, not the
+           // ambiguous sc/d join columns
+           s"""SELECT doc_id, score_micro FROM (
+             |  SELECT sc.doc_id,
+             |    CAST(round(sum(mts) * ($factorExpr) * 1000000.0) AS BIGINT) AS score_micro
+             |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+             |  ${where}GROUP BY sc.doc_id, $factorGroup) fscored $finalOrder""".stripMargin
          else
            s"""SELECT doc_id, CAST(round(sum(mts) * 1000000.0) AS BIGINT) AS score_micro
              |FROM sc ${where}GROUP BY doc_id $finalOrder""".stripMargin
@@ -1463,7 +1475,61 @@ object SparkEntry {
         minCos = -1.0, maxBucket = 6)
         .select(col("id_a"), col("id_b"), micro(col("cos")).as("cos_micro"))
         .filter(col("cos_micro") >= 200000L)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // HYBRID SEARCH (reciprocal-rank fusion): the BM25 top list and the
+    // embedding-cosine top list (vec_id ≡ doc_id at this sf) fused as
+    // Σ 1/(60 + rank), ranks taken over MICRO-unit scores with the doc_id
+    // tiebreak so both engines rank identically; the fused reciprocals are
+    // exactly-representable f64s, so the sum is bit-equal cross-engine.
+    // The oracle recomputes both lists, both rankings, and the fusion from
+    // scratch — a rank off by one anywhere shifts a reciprocal and breaks
+    // the hash.
+    "q72_hybrid_rrf" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val lex = QueryEngine.query(idx, "spar merge", BM25())
+        .select(col("doc_id"), micro(col("score")).as("m"))
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val vec = e.select(col("vec_id").as("doc_id"),
+        micro(Similarity.cosine(col("embedding"),
+          array(q.map(v => lit(v)): _*))).as("m"))
+      graft.query.Fusion.rrf(Seq(lex, vec), "doc_id", "m",
+        rrfK = 60, maxRank = 100, topK = 20)
+        .select(col("doc_id"), micro(col("rrf")).as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    }),
+
+    // FIELD COLLAPSE (best hit per group — "one result per repo"): the
+    // BM25 match set collapsed to each source's top doc by
+    // (score_micro desc, doc_id asc). Oracle recomputes the match set and
+    // the per-group argmax with a window over the same keys — a wrong
+    // group winner or a tie broken differently changes rows.
+    "q73_collapse" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val res = QueryEngine.query(idx, "spar merge", BM25())
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+      graft.query.Fusion.collapseTop(res, docs(s, dir), "doc_id", "source",
+        "score_micro")
+        .select(col("doc_id"), col("source"), col("score_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // FUNCTION SCORE (multiplicative modifier): BM25 × a length-decay
+    // prior 1000/(1000 + n_chars) — pure rational f64 arithmetic, so both
+    // engines compute the identical factor; the product is rounded to
+    // micro at the same composition point on both sides (raw score ×
+    // factor, then round).
+    "q74_func_score" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val res = QueryEngine.query(idx, "spar merge", BM25())
+      graft.query.Fusion.functionScore(res, docs(s, dir), "doc_id",
+        Seq("n_chars"), "score",
+        lit(1000.0) / (lit(1000L) + col("n_chars")))
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy("doc_id")
+    })
   )
 
   // ---------- oracles (DuckDB SQL over the same parquet tables) ----------
@@ -2142,6 +2208,48 @@ object SparkEntry {
       """WITH aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
         |fp AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint FROM aug),
         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
-        |SELECT doc_id FROM keep ORDER BY doc_id""".stripMargin
+        |SELECT doc_id FROM keep ORDER BY doc_id""".stripMargin,
+
+    // hybrid RRF: both lists recomputed from scratch (lexical micro scores
+    // via the shared bm25 pipeline, cosine micro via the q15 arithmetic),
+    // ranked over (micro desc, id asc), fused as Σ 1.0/(60 + rank) in f64,
+    // cut on the RAW fused value (identical f64s cross-engine) before
+    // micro-rounding — the engine's exact composition order
+    "q72_hybrid_rrf" ->
+      s"""WITH bm AS (SELECT * FROM (${bm25Sql(Seq("spar", "merge"), "")})),
+        |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |parts AS (SELECT e.vec_id,
+        |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(qv.qv[g.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS nd,
+        |    sum(CAST(qv.qv[g.i] AS DOUBLE) * CAST(qv.qv[g.i] AS DOUBLE)) AS nq
+        |  FROM embeddings e, qv, generate_series(1, 64) g(i) GROUP BY e.vec_id),
+        |cosl AS (SELECT vec_id AS doc_id,
+        |    CAST(round((dot / (sqrt(nd) * sqrt(nq))) * 1000000.0) AS BIGINT) AS m
+        |  FROM parts),
+        |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS r FROM bm),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY m DESC, doc_id ASC) AS r FROM cosl),
+        |u AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + r) AS contrib FROM ra WHERE r <= 100
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS DOUBLE) / (60 + r) FROM rb WHERE r <= 100),
+        |f AS (SELECT doc_id, sum(contrib) AS rrf FROM u GROUP BY doc_id),
+        |topk AS (SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 20)
+        |SELECT doc_id, CAST(round(rrf * 1000000.0) AS BIGINT) AS rrf_micro
+        |FROM topk ORDER BY rrf_micro DESC, doc_id ASC""".stripMargin,
+
+    // field collapse: per-source argmax over the same match set with the
+    // same (micro desc, doc_id asc) window order
+    "q73_collapse" ->
+      s"""WITH bm AS (SELECT * FROM (${bm25Sql(Seq("spar", "merge"), "")})),
+        |j AS (SELECT bm.doc_id, d.source, bm.score_micro,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY bm.score_micro DESC, bm.doc_id ASC) AS rn
+        |  FROM bm JOIN documents d ON d.doc_id = bm.doc_id)
+        |SELECT doc_id, source, score_micro FROM j WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // function score: raw per-doc sum × the rational length-decay factor,
+    // rounded once — the engine's composition point
+    "q74_func_score" -> bm25Sql(Seq("spar", "merge"), "",
+      factorExpr = "CAST(1000 AS DOUBLE) / (1000 + d.n_chars)",
+      factorGroup = "d.n_chars")
   )
 }

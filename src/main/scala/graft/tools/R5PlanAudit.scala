@@ -75,6 +75,32 @@ object R5PlanAudit {
       "doc_id", Seq("text"))
     QueryEngine.query(InvertedIndex.merge(sa, sb), "window key", BM25(),
       limit = 20).explain("formatted")
+
+    println("=== rrf(bm25 top-100, vector top-100) ===")
+    val micro = (c: org.apache.spark.sql.Column) =>
+      round(c * 1000000.0).cast("long")
+    val lex = QueryEngine.query(idx, "spar merge", BM25())
+      .select(col("doc_id"), micro(col("score")).as("m"))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val vec = emb.select(col("vec_id").as("doc_id"),
+      micro(graft.pipeline.Similarity.cosine(col("embedding"),
+        array(qv.map(v => lit(v)): _*))).as("m"))
+    graft.query.Fusion.rrf(Seq(lex, vec), "doc_id", "m", topK = 20)
+      .explain("formatted")
+
+    println("=== collapseTop(bm25 matches, by source) ===")
+    graft.query.Fusion.collapseTop(
+      QueryEngine.query(idx, "spar merge", BM25())
+        .select(col("doc_id"), micro(col("score")).as("score_micro")),
+      docs, "doc_id", "source", "score_micro").explain("formatted")
+
+    println("=== functionScore(bm25 x length decay) ===")
+    graft.query.Fusion.functionScore(
+      QueryEngine.query(idx, "spar merge", BM25()), docs, "doc_id",
+      Seq("n_chars"), "score",
+      lit(1000.0) / (lit(1000L) + col("n_chars"))).explain("formatted")
     spark.stop()
   }
 }
