@@ -1529,6 +1529,28 @@ object SparkEntry {
         lit(1000.0) / (lit(1000L) + col("n_chars")))
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
         .orderBy("doc_id")
+    }),
+
+    // TWO-PHASE RESCORING: BM25 top-50 window, blended with the
+    // embedding-cosine signal as 1·bm25_micro + 2·cos_micro — exact LONG
+    // arithmetic on both sides (no float drift possible), so window
+    // membership, the blend, and the final cut must all agree for the
+    // hash to match. The expensive signal touches only the 50-doc window.
+    "q75_rescore" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val lex = QueryEngine.query(idx, "spar merge", BM25())
+        .select(col("doc_id"), micro(col("score")).as("m"))
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val sec = e.select(col("vec_id").as("doc_id"),
+        micro(Similarity.cosine(col("embedding"),
+          array(q.map(v => lit(v)): _*))).as("cos_m"))
+      graft.query.Fusion.rescore(lex, "doc_id", "m", sec, "cos_m",
+        windowSize = 50, queryWeight = lit(1L), rescoreWeight = lit(2L),
+        topK = 20)
+        .select(col("doc_id"), col("blended").as("blended_micro"))
+        .orderBy(col("blended_micro").desc, col("doc_id").asc)
     })
   )
 
@@ -2250,6 +2272,27 @@ object SparkEntry {
     // rounded once — the engine's composition point
     "q74_func_score" -> bm25Sql(Seq("spar", "merge"), "",
       factorExpr = "CAST(1000 AS DOUBLE) / (1000 + d.n_chars)",
-      factorGroup = "d.n_chars")
+      factorGroup = "d.n_chars"),
+
+    // two-phase rescore: the top-50 window by (bm25 micro desc, id asc),
+    // left-joined with the cosine micro list, blended in exact long
+    // arithmetic (1·bm25 + 2·cos), cut to 20 on (blended desc, id asc)
+    "q75_rescore" ->
+      s"""WITH bm AS (SELECT * FROM (${bm25Sql(Seq("spar", "merge"), "")})),
+        |win AS (SELECT doc_id, score_micro FROM bm
+        |        ORDER BY score_micro DESC, doc_id ASC LIMIT 50),
+        |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |parts AS (SELECT e.vec_id,
+        |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(qv.qv[g.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS nd,
+        |    sum(CAST(qv.qv[g.i] AS DOUBLE) * CAST(qv.qv[g.i] AS DOUBLE)) AS nq
+        |  FROM embeddings e, qv, generate_series(1, 64) g(i) GROUP BY e.vec_id),
+        |cosl AS (SELECT vec_id AS doc_id,
+        |    CAST(round((dot / (sqrt(nd) * sqrt(nq))) * 1000000.0) AS BIGINT) AS cos_m
+        |  FROM parts)
+        |SELECT w.doc_id,
+        |  CAST(w.score_micro + 2 * coalesce(c.cos_m, 0) AS BIGINT) AS blended_micro
+        |FROM win w LEFT JOIN cosl c ON c.doc_id = w.doc_id
+        |ORDER BY blended_micro DESC, w.doc_id ASC LIMIT 20""".stripMargin
   )
 }

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Fusion {
 
+  /** Hard cap on [[rescore]]'s first-phase window: bounds the one driver
+    * collect (≤ cap × ~24 B ≈ 1.6 MB) and the InSet predicate size.
+    * Elasticsearch's equivalent knob (`index.max_rescore_window`)
+    * defaults to 10,000.
+    */
+  val MaxRescoreWindow = 65536
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): each input list
     * is ranked by (`scoreCol` desc, `idCol` asc), and a document's fused
     * score is Σ_lists 1/(rrfK + rank). Documents appearing in only some
@@ -78,6 +85,64 @@ object Fusion {
       .withColumn("rank_in_group", row_number().over(w))
       .filter(col("rank_in_group") <= perGroup)
       .drop("rank_in_group")
+  }
+
+  /** Two-phase rescoring (`rescore`): cut the match set to the top
+    * `windowSize` docs by (`scoreCol` desc, `idCol` asc) — a cheap
+    * first-phase ranking — then blend in a more expensive secondary
+    * signal over ONLY that window:
+    * `blended = queryWeight·score + rescoreWeight·secondary`
+    * (docs absent from `secondary` contribute 0 from it). Output is the
+    * rescored window ordered (blended desc, id asc), cut to `topK` when
+    * `topK > 0`.
+    *
+    * Scale shape: the window cut is one `TakeOrderedAndProject` over the
+    * first-phase match set (already pruned by the retrieval stage),
+    * collected once under [[MaxRescoreWindow]]; the window ids reach the
+    * secondary's (column-pruned) parquet scan as a pushed-down InSet
+    * predicate, so the expensive signal (embedding cosine, a model
+    * score) is evaluated on k·10² docs, never the corpus.
+    *
+    * Determinism contract: pass INTEGER micro-unit score columns and
+    * integer-valued weights and the blend is exact long arithmetic,
+    * rank-identical across engines.
+    */
+  def rescore(results: DataFrame, idCol: String, scoreCol: String,
+      secondary: DataFrame, secondaryCol: String, windowSize: Int,
+      queryWeight: Column = lit(1L), rescoreWeight: Column = lit(1L),
+      topK: Int = -1): DataFrame = {
+    require(windowSize >= 1 && windowSize <= MaxRescoreWindow,
+      s"windowSize must be in [1, $MaxRescoreWindow] — a rescore window is" +
+        " a driver-bounded top cut by definition (cf. Elasticsearch's" +
+        " index.max_rescore_window); for corpus-wide blending use rrf or" +
+        " functionScore")
+    // The window is collected ONCE (≤ windowSize (id, score) rows — the
+    // same capped-collect idiom as the WAND survivor set): an outer join
+    // can only broadcast its NON-preserved side, so any plan that keeps
+    // `window` as a lazy subplan either broadcasts the corpus-sized
+    // secondary or evaluates the first-phase retrieval twice. Collecting
+    // gives (a) exactly one phase-1 evaluation, and (b) the window ids as
+    // an InSet predicate pushed into the secondary's parquet scan
+    // (row-group pruning) instead of a streamed semi-join probe.
+    val spark = results.sparkSession
+    val winPlan = results.select(col(idCol), col(scoreCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc).limit(windowSize)
+    val winRows = winPlan.collect()
+    val window = spark.createDataFrame(
+      spark.sparkContext.parallelize(winRows.toIndexedSeq, 1), winPlan.schema)
+    val ids = winRows.map(_.get(0)).toIndexedSeq
+    // secondary col aliased so scoreCol == secondaryCol can't collide
+    val secW = secondary
+      .select(col(idCol), col(secondaryCol).as("_rescore_sec"))
+      .filter(col(idCol).isInCollection(ids))
+    val blended = window.join(broadcast(secW), Seq(idCol), "left")
+      .select(col(idCol),
+        (queryWeight * col(scoreCol) +
+          rescoreWeight * coalesce(col("_rescore_sec"),
+            lit(0L).cast(secondary.schema(secondaryCol).dataType)))
+          .as("blended"))
+    val sorted = blended.orderBy(col("blended").desc, col(idCol).asc)
+    if (topK > 0) sorted.limit(topK) else sorted
   }
 
   /** Multiplicative score modifier (`function_score`): final score =

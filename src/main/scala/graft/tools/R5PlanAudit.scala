@@ -96,6 +96,11 @@ object R5PlanAudit {
         .select(col("doc_id"), micro(col("score")).as("score_micro")),
       docs, "doc_id", "source", "score_micro").explain("formatted")
 
+    println("=== rescore(bm25 window=50, cosine, 1:2) ===")
+    graft.query.Fusion.rescore(lex, "doc_id", "m", vec, "m",
+      windowSize = 50, rescoreWeight = lit(2L), topK = 20)
+      .explain("formatted")
+
     println("=== functionScore(bm25 x length decay) ===")
     graft.query.Fusion.functionScore(
       QueryEngine.query(idx, "spar merge", BM25()), docs, "doc_id",

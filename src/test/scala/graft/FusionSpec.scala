@@ -58,6 +58,28 @@ class FusionSpec extends TestBase {
     assert(two == Set(2L, 3L, 5L, 4L))
   }
 
+  test("rescore == windowed blend replay (window cut, missing secondary, ties)") {
+    // first-phase scores: ids 3 and 4 tie at 80 -> id 3 enters a window
+    // of 3 (cut is (m desc, id asc)); id 4 is OUTSIDE the window even
+    // though its secondary signal would have ranked it first
+    val lex = Seq(1L -> 100L, 2L -> 90L, 3L -> 80L, 4L -> 80L, 5L -> 10L)
+      .toDF("doc_id", "m")
+    // id 2 missing from secondary -> contributes 0; id 4's huge signal
+    // must be ignored (outside window)
+    val sec = Seq(1L -> 5L, 3L -> 50L, 4L -> 999L, 5L -> 7L)
+      .toDF("doc_id", "cos_m")
+    val got = Fusion.rescore(lex, "doc_id", "m", sec, "cos_m",
+      windowSize = 3, queryWeight = lit(1L), rescoreWeight = lit(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // window = {1(100), 2(90), 3(80)}; blended = 1*m + 2*sec
+    assert(got == Seq(3L -> 180L, 1L -> 110L, 2L -> 90L))
+    // topK cut
+    val cut = Fusion.rescore(lex, "doc_id", "m", sec, "cos_m",
+      windowSize = 3, rescoreWeight = lit(2L), topK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(cut == Seq(3L, 1L))
+  }
+
   test("functionScore multiplies by the attribute factor") {
     val res = Seq(1L -> 2.0, 2L -> 3.0).toDF("doc_id", "score")
     val attrs = Seq((1L, 100L), (2L, 300L)).toDF("doc_id", "n_chars")
