@@ -346,7 +346,7 @@ object SparkEntry {
       qtSelect: String = "", exclTerms: Seq[String] = Nil,
       explainTopK: Int = 0, qpairs: Seq[(Int, String)] = Nil,
       minMatch: Int = 0, exactExp: Boolean = false,
-      factorExpr: String = "", factorGroup: String = ""): String = {
+      factorExpr: String = ""): String = {
     // qtSelect replaces the literal query-term VALUES with a COMPUTED
     // (qti, qterm) select — q61's more-like-this derives its query terms
     // from the data (the seed doc's tf-idf top terms)
@@ -458,13 +458,16 @@ object SparkEntry {
            // function-score mode (q74): the raw per-doc sum is multiplied
            // by a row-attribute factor BEFORE micro rounding — the same
            // composition point as the engine's Fusion.functionScore
-           // subquery so $finalOrder binds the OUTPUT doc_id, not the
-           // ambiguous sc/d join columns
+           // the shared WHERE conds (bare doc_id refs) bind inside the
+           // sc-only inner aggregate; documents joins OUTSIDE it, so the
+           // factor columns can never collide with the conds, and the
+           // outer subquery means $finalOrder binds the OUTPUT doc_id
            s"""SELECT doc_id, score_micro FROM (
-             |  SELECT sc.doc_id,
-             |    CAST(round(sum(mts) * ($factorExpr) * 1000000.0) AS BIGINT) AS score_micro
-             |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
-             |  ${where}GROUP BY sc.doc_id, $factorGroup) fscored $finalOrder""".stripMargin
+             |  SELECT r.doc_id,
+             |    CAST(round(r.raw * ($factorExpr) * 1000000.0) AS BIGINT) AS score_micro
+             |  FROM (SELECT doc_id, sum(mts) AS raw
+             |        FROM sc ${where}GROUP BY doc_id) r
+             |  JOIN documents d ON d.doc_id = r.doc_id) fscored $finalOrder""".stripMargin
          else
            s"""SELECT doc_id, CAST(round(sum(mts) * 1000000.0) AS BIGINT) AS score_micro
              |FROM sc ${where}GROUP BY doc_id $finalOrder""".stripMargin
@@ -1492,9 +1495,14 @@ object SparkEntry {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
+      // the vector list is CUT to the fusion depth before rrf — identical
+      // result (rrf drops ranks > maxRank anyway, same order) but the
+      // global-order window then sees 100 rows by construction instead of
+      // the corpus (the scale contract in Fusion.rrf's scaladoc)
       val vec = e.select(col("vec_id").as("doc_id"),
         micro(Similarity.cosine(col("embedding"),
           array(q.map(v => lit(v)): _*))).as("m"))
+        .orderBy(col("m").desc, col("doc_id").asc).limit(100)
       graft.query.Fusion.rrf(Seq(lex, vec), "doc_id", "m",
         rrfK = 60, maxRank = 100, topK = 20)
         .select(col("doc_id"), micro(col("rrf")).as("rrf_micro"))
@@ -2271,8 +2279,7 @@ object SparkEntry {
     // function score: raw per-doc sum × the rational length-decay factor,
     // rounded once — the engine's composition point
     "q74_func_score" -> bm25Sql(Seq("spar", "merge"), "",
-      factorExpr = "CAST(1000 AS DOUBLE) / (1000 + d.n_chars)",
-      factorGroup = "d.n_chars"),
+      factorExpr = "CAST(1000 AS DOUBLE) / (1000 + d.n_chars)"),
 
     // two-phase rescore: the top-50 window by (bm25 micro desc, id asc),
     // left-joined with the cosine micro list, blended in exact long

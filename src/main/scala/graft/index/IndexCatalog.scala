@@ -1026,10 +1026,18 @@ object IndexCatalog {
     }
 
     // 4. lineage + config + publish. Per-bucket lineage is the sum of the
-    // shards' counts (the same invariant build records).
+    // shards' counts (the same invariant build records). A shard's total
+    // is its base `lineage.postings` PLUS every `lineage.append.<g>`
+    // delta line — appended generations' files were moved into postings/
+    // at publish, so their rows are in the copied store and must be in
+    // the folded lineage (vacuum folds deltas back into the base, so no
+    // double count is possible).
     if (mo.getOrElse("published", "") != "true") {
       val perBucket = ms.flatMap(m =>
-        m.getOrElse("lineage.postings", "").split(";").filter(_.nonEmpty)
+        m.collect { case (k, v)
+            if k == "lineage.postings" || k.startsWith("lineage.append.") =>
+          v }
+          .flatMap(_.split(";").filter(_.nonEmpty))
           .map { kv => val Array(b, c) = kv.split("="); (b.toInt, c.toLong) })
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
         .map { case (b, c) => s"$b=$c" }.mkString(";")

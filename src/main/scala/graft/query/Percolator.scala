@@ -58,6 +58,9 @@ object Percolator {
     require(fieldCols.nonEmpty, "at least one field")
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate query ids")
+    // -1 is the internal no-match sentinel removed below; a query
+    // registered under it would silently never emit a row
+    require(queries.forall(_._1 != -1L), "query id -1 is reserved")
     val qs = queries
       .map { case (qid, q) => (qid, tokenizer(q).filter(_.nonEmpty)) }
       .filter(_._2.nonEmpty)

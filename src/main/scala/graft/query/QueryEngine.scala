@@ -642,12 +642,14 @@ object QueryEngine {
     import spark.implicits._
     val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
     require(fb.size == idx.numFields, "one boost per field")
-    // full-string match: Column.rlike is a FIND, so anchor both ends unless
-    // the caller already did (a '^…$' pattern passes through unchanged)
-    val anchored =
-      (if (pattern.startsWith("^")) "" else "^") + pattern +
-        (if (pattern.endsWith("$")) "" else "$")
-    val prefix = literalPrefix(anchored)
+    // full-string match: Column.rlike is a FIND, and alternation binds
+    // LOOSER than anchors ("^row|raw$" = startsWith(row) OR endsWith(raw)),
+    // so the pattern is wrapped in a non-capturing group before anchoring —
+    // every branch is then full-string. Caller-supplied inner ^/$ stay
+    // valid (they assert the same string boundaries).
+    val anchored = "^(?:" + pattern + ")$"
+    val prefix = literalPrefix(
+      if (pattern.startsWith("^")) pattern else "^" + pattern)
     val dictPred = {
       val r = col("term").rlike(anchored)
       if (prefix.nonEmpty) col("term").startsWith(lit(prefix)) && r else r
@@ -698,12 +700,32 @@ object QueryEngine {
 
   /** Longest literal prefix of a `^`-anchored regex — the dictionary-scan
     * pre-prune for [[regexQuery]]. Conservative: stops at the first regex
-    * metacharacter, and drops the last literal when a quantifier follows it
-    * (in `^spa*` the `a` is optional, so only `sp` is guaranteed). An
-    * unanchored pattern has no guaranteed prefix → "".
+    * metacharacter, drops the last literal when a quantifier follows it
+    * (in `^spa*` the `a` is optional, so only `sp` is guaranteed), and
+    * returns "" when the pattern has a TOP-LEVEL alternation — a later
+    * `|` branch (outside any group or character class) need not share
+    * the scanned prefix, so no prefix is guaranteed at all. An unanchored
+    * pattern has no guaranteed prefix → "".
     */
   private[graft] def literalPrefix(pattern: String): String = {
     if (!pattern.startsWith("^")) return ""
+    // top-level '|' check over the WHOLE pattern: depth counts unescaped
+    // '('/')' groups, bracket state tracks '[...]' classes ('|' is literal
+    // inside both a class and — for prefix purposes — a group that starts
+    // after the prefix)
+    var depth = 0; var inClass = false; var j = 1
+    while (j < pattern.length) {
+      pattern.charAt(j) match {
+        case '\\' => j += 1
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass => depth += 1
+        case ')' if !inClass => depth -= 1
+        case '|' if !inClass && depth == 0 => return ""
+        case _ =>
+      }
+      j += 1
+    }
     val meta = ".[]{}()*+?|\\^$"
     val sb = new StringBuilder
     var i = 1

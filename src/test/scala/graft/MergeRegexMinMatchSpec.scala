@@ -125,6 +125,15 @@ class MergeRegexMinMatchSpec extends TestBase {
     assert(QueryEngine.literalPrefix("^s.*") == "s")
     assert(QueryEngine.literalPrefix("abc") == "")          // unanchored: no guarantee
     assert(QueryEngine.literalPrefix("^(a|b)c") == "")
+    // TOP-LEVEL alternation: a later branch shares no prefix → ""
+    assert(QueryEngine.literalPrefix("^row|raw$") == "")
+    assert(QueryEngine.literalPrefix("^ab|^ac") == "")
+    // …but an alternation NESTED after the prefix keeps it
+    assert(QueryEngine.literalPrefix("^ab(c|d)e") == "ab")
+    // '|' inside a character class is a literal, not an alternation
+    assert(QueryEngine.literalPrefix("^ab[x|y]") == "ab")
+    // escaped '|' is a literal too (prefix still stops at the backslash)
+    assert(QueryEngine.literalPrefix("^ab\\|c") == "ab")
   }
 
   test("regexQuery == per-doc max over exact variant scores") {
@@ -159,6 +168,25 @@ class MergeRegexMinMatchSpec extends TestBase {
       if (idx.hasTombstones)
         assert(!collected.exists { case (id, _) => removed.contains(id) })
     }
+  }
+
+  test("regexQuery: top-level alternation is full-string on EVERY branch") {
+    // 'rows' starts with "row" and 'craw' ends with "raw" — a textually
+    // anchored "^row|raw$" would match both as substrings; the grouped
+    // anchor must match exactly {row, raw}
+    val idx = buildTitleIndex(Seq(
+      "row a", "raw b", "rows c", "craw d", "x y")).cached()
+    val got = results(QueryEngine.regexQuery(idx, "row|raw", BM25()))
+    // ^r[ao]w$ matches the identical term set {row, raw} with no
+    // alternation — validated against per-doc max by the test above
+    val expect = results(QueryEngine.regexQuery(idx, "^r[ao]w$", BM25()))
+    assert(got == expect && got.size == 2)
+    assert(got.map(_._1).toSet == Set(0L, 1L)) // 'rows'/'craw' excluded
+    // collected path == over-cap fallback on the alternation too
+    val fallback = results(QueryEngine.regexQuery(idx, "row|raw", BM25(),
+      maxCollectedExpansions = 1))
+    assert(got == fallback)
+    idx.unpersist()
   }
 
   test("regexQuery: no dictionary match → empty result") {

@@ -51,6 +51,11 @@ class PercolatorSpec extends TestBase {
     assert(got == Set((1L, 7L), (2L, 7L)))
     assert(Percolator.percolate(df, "doc_id", Seq("f1"), Seq.empty).isEmpty)
     assert(Percolator.percolate(df, "doc_id", Seq("f1"), Seq(8L -> " ")).isEmpty)
+    // qid -1 collides with the internal no-match sentinel: refused loudly
+    // instead of silently never emitting a row
+    intercept[IllegalArgumentException] {
+      Percolator.percolate(df, "doc_id", Seq("f1"), Seq(-1L -> "import"))
+    }
   }
 
   test("plan is map-only (no exchange) — stream-safe by construction") {

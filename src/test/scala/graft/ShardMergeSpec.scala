@@ -173,6 +173,17 @@ class ShardMergeSpec extends TestBase {
     for (q <- Seq("import", "ident1 val"))
       assert(results(QueryEngine.query(merged, q, BM25())) ==
         results(QueryEngine.query(single, q, BM25())), s"3-way merge != single for '$q'")
+    // lineage invariant: the merged manifest's per-bucket counts equal the
+    // ACTUAL rows of the merged posting store — shard 0's append-delta
+    // lines must be folded in, not just its stale base lineage
+    val lineage = mo.split("\"lineage.postings\"\\s*:\\s*\"")(1).split("\"")(0)
+      .split(";").filter(_.nonEmpty)
+      .map { kv => val Array(b, c) = kv.split("="); (b.toInt, c.toLong) }.toMap
+    val actual = spark.read.parquet(s"$out/postings")
+      .groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(lineage == actual,
+      s"merged lineage $lineage != actual per-bucket rows $actual")
   }
 
   test("shard tombstones carry into the merged root") {
