@@ -346,7 +346,7 @@ object SparkEntry {
       qtSelect: String = "", exclTerms: Seq[String] = Nil,
       explainTopK: Int = 0, qpairs: Seq[(Int, String)] = Nil,
       minMatch: Int = 0, exactExp: Boolean = false,
-      factorExpr: String = ""): String = {
+      factorExpr: String = "", termWeights: Seq[Double] = Nil): String = {
     // qtSelect replaces the literal query-term VALUES with a COMPUTED
     // (qti, qterm) select — q61's more-like-this derives its query terms
     // from the data (the seed doc's tf-idf top terms)
@@ -382,11 +382,22 @@ object SparkEntry {
        |qt AS (${if (qtSelect.nonEmpty) qtSelect
          else s"SELECT * FROM (VALUES $qvals) AS t(qti, qterm)"}),
        |exp AS (SELECT qt.qti, qt.qterm, tdf.term AS eterm, tdf.df
-       |        FROM qt JOIN tdf ON $expJoin),
+       |        FROM qt JOIN tdf ON $expJoin),${
+         // per-term weights (q77 boostedQuery): the slot weight multiplies
+         // the expansion boost INSIDE esc — the engine's exact composition
+         // point (eboost·tboost before scoring), so max/sum stay identical
+         if (termWeights.isEmpty) ""
+         else s"""
+           |wt AS (SELECT * FROM (VALUES ${termWeights.zipWithIndex
+             .map { case (w, i) => s"($i, CAST($w AS DOUBLE))" }
+             .mkString(", ")}) AS t(qti, w)),""".stripMargin
+       }
        |esc AS (SELECT e.qti, e.eterm,
        |  ln(1 + ((st.n - least(st.n, e.df)) + 0.5) / (least(st.n, e.df) + 0.5)) AS idf,
-       |  $boostExpr AS boost
-       |  FROM exp e, stats st),
+       |  ${if (termWeights.isEmpty) s"$boostExpr AS boost"
+         else s"($boostExpr) * wt.w AS boost"}
+       |  FROM exp e${if (termWeights.isEmpty) ""
+         else " JOIN wt ON wt.qti = e.qti"}, stats st),
        |${if (explainTopK > 0)
          // explain mode keeps the per-expansion score (scx) so the final
          // select can pick each (doc, qti)'s winning expansion; sc stays
@@ -1559,6 +1570,32 @@ object SparkEntry {
         topK = 20)
         .select(col("doc_id"), col("blended").as("blended_micro"))
         .orderBy(col("blended_micro").desc, col("doc_id").asc)
+    }),
+
+    // WILDCARD term search — the Lucene/ES wildcard query: '?' = one char,
+    // '*' = any run; 's?a*' matches {scan, small, spark} at sf0.01, each an
+    // exact-scored variant under ONE slot (wildcard → anchored regex over
+    // the dictionary, the q69 machinery). The oracle recomputes the variant
+    // set with SQL LIKE ('?'→'_', '*'→'%') — two INDEPENDENT pattern
+    // dialects must produce the same term set for the hash to match.
+    "q76_bm25_wildcard" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      QueryEngine.wildcardQuery(idx, "s?a*", BM25())
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PER-TERM query boosts — "s^2.5 merge^0.5 key": slot 0 ("s", SIX
+    // prefix expansions) weighted 2.5, slot 1 halved, slot 2 unweighted
+    // (no caret). The weight multiplies the expansion boost before scoring
+    // (max(w·s) = w·max(s), so the per-slot max-merge is unchanged); the
+    // oracle multiplies at the same composition point (esc CTE) and scores
+    // the full pipeline independently.
+    "q77_bm25_boosted" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      QueryEngine.boostedQuery(idx, "s^2.5 merge^0.5 key", BM25())
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2300,6 +2337,20 @@ object SparkEntry {
         |SELECT w.doc_id,
         |  CAST(w.score_micro + 2 * coalesce(c.cos_m, 0) AS BIGINT) AS blended_micro
         |FROM win w LEFT JOIN cosl c ON c.doc_id = w.doc_id
-        |ORDER BY blended_micro DESC, w.doc_id ASC LIMIT 20""".stripMargin
+        |ORDER BY blended_micro DESC, w.doc_id ASC LIMIT 20""".stripMargin,
+
+    // wildcard term search: the variant set recomputed independently with
+    // SQL LIKE ('s?a*' ≡ 's_a%'), exact expansion join, all variants under
+    // slot 0 → the shared per-(doc, qti) max IS the wildcard merge rule
+    "q76_bm25_wildcard" -> bm25Sql(Nil, "",
+      qtSelect = "SELECT 0 AS qti, term AS qterm FROM tdf " +
+        "WHERE term LIKE 's_a%'",
+      exactExp = true),
+
+    // per-term boosts: the slot weights multiply the expansion boost in the
+    // esc CTE — the engine's exact composition point — then the unchanged
+    // max/sum pipeline scores independently
+    "q77_bm25_boosted" -> bm25Sql(Seq("s", "merge", "key"), "",
+      termWeights = Seq(2.5, 0.5, 1.0))
   )
 }

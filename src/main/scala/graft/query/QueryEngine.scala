@@ -738,6 +738,107 @@ object QueryEngine {
     sb.toString
   }
 
+  /** WILDCARD term search — the Lucene/Elasticsearch `wildcard` query
+    * surface: `?` matches exactly one character, `*` any run (incl. empty),
+    * every other character is LITERAL. `s?a*` matches {scan, small, spark}.
+    * Implemented as a translation onto [[regexQuery]] (escape regex
+    * metacharacters, `*`→`.*`, `?`→`.`), so it inherits the whole regex
+    * machinery: dictionary-sized matching (never the posting store),
+    * [[literalPrefix]] scan pre-pruning of the run up to the first
+    * wildcard, exact-scored variants under ONE slot merged by per-(doc,
+    * slot) max, the two-tier collected/scan-predicate plan, tombstone
+    * live-df recounts, and the `docFilter` seam.
+    */
+  def wildcardQuery(idx: InvertedIndex, pattern: String, model: ScoreModel,
+      boosts: Seq[Double] = Nil, limit: Int = -1,
+      maxCollectedExpansions: Int = 4096,
+      docFilter: Option[DataFrame] = None): DataFrame =
+    regexQuery(idx, wildcardToRegex(pattern), model, boosts, limit,
+      maxCollectedExpansions, docFilter)
+
+  /** Wildcard → regex translation for [[wildcardQuery]]: `*`→`.*`, `?`→`.`,
+    * every regex metacharacter escaped so it stays literal. The result is
+    * an unanchored body ([[regexQuery]] wraps it in `^(?:…)$` itself).
+    */
+  private[graft] def wildcardToRegex(pattern: String): String = {
+    val sb = new StringBuilder
+    pattern.foreach {
+      case '*' => sb ++= ".*"
+      case '?' => sb += '.'
+      case c if ".[]{}()+|\\^$".indexOf(c) >= 0 => sb += '\\' += c
+      case c => sb += c
+    }
+    sb.toString
+  }
+
+  /** PER-TERM query boosts — the `term^weight` query-string syntax every
+    * Lucene-family engine ships (`"s^2.5 merge^0.5 key"`): a term's weight
+    * multiplies THAT query term's contribution to the doc score, i.e.
+    * `score(doc) = Σ_qti w_qti · max_expansions termScore`. The reference
+    * only has per-FIELD boosts (lib.rs `fields_boost`; the `boosts` param
+    * here, orthogonal and composable); per-term weighting extends the same
+    * formula along the query axis.
+    *
+    * Implementation: the weight rides the expansion table as a `tboost`
+    * column and multiplies the model's expansion boost (`eboost`) before
+    * scoring — sound because the weight is CONSTANT across one slot's
+    * expansions, so `max(w·s) = w·max(s)` and the per-slot max-merge is
+    * unchanged. Models whose scoring has no multiplicative expansion-boost
+    * seam (zero-to-one's normalized greedy pass) are rejected loudly.
+    * Weights must be > 0 (a zero/negative weight would flip the `score > 0`
+    * match predicate and the WAND bound non-negativity). A token whose
+    * `^suffix` does not parse as a number is taken literally (it may be an
+    * indexed term); a parseable but non-positive weight is an error.
+    *
+    * Scale shape identical to [[query]]: same two-tier expansion
+    * resolution, same pruned scans — the weight table is query-sized and
+    * broadcast.
+    */
+  def boostedQuery(idx: InvertedIndex, queryString: String, model: ScoreModel,
+      boosts: Seq[Double] = Nil, limit: Int = -1,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      docFilter: Option[DataFrame] = None): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val fb = if (boosts.isEmpty) Seq.fill(idx.numFields)(1.0) else boosts
+    require(fb.size == idx.numFields, "one boost per field")
+    val raw = tokenizer(queryString)
+    val parsed = raw.map(parseTermBoost)
+    val qterms = parsed.zipWithIndex
+      .collect { case ((t, _), i) if t.nonEmpty => (i, t) }
+    if (qterms.isEmpty) return emptyResult(spark)
+    val weights = parsed.zipWithIndex
+      .collect { case ((t, w), i) if t.nonEmpty => (i, w) }
+    prefixCandExp(idx, qterms, maxCollectedExpansions) match {
+      case None => emptyResult(spark)
+      case Some((cand, exp)) =>
+        val wdf = weights.toSeq.toDF("qti", "tboost")
+        scoreCandidates(idx, cand, exp.join(broadcast(wdf), Seq("qti")),
+          model, fb, raw.length, limit, docFilter)
+    }
+  }
+
+  /** `term^weight` parse for [[boostedQuery]]: split at the LAST `^`. No
+    * `^`, a leading `^`, or a suffix that is not a number → the whole token
+    * is the term at weight 1.0 (it may be a literal indexed term containing
+    * `^`). A suffix that IS a number but not finite-positive is a loud
+    * error, not a silent weight-1 (a typo like `term^-2` must not change
+    * ranking silently).
+    */
+  private[graft] def parseTermBoost(token: String): (String, Double) = {
+    val i = token.lastIndexOf('^')
+    if (i <= 0 || i == token.length - 1) return (token, 1.0)
+    val suffix = token.substring(i + 1)
+    suffix.toDoubleOption match {
+      case None => (token, 1.0)
+      case Some(w) =>
+        require(w > 0.0 && !w.isInfinite,
+          s"per-term boost must be a finite positive number: '$token'")
+        (token.substring(0, i), w)
+    }
+  }
+
   /** SEARCH-AFTER (cursor pagination) — deep paging without the offset
     * blow-up: page N+1 is the top-k of the result set strictly AFTER the
     * cursor `(afterScoreMicro, afterDocId)` in the canonical page order.
@@ -1103,7 +1204,18 @@ object QueryEngine {
       cand.join(f.select(col("doc_id")), Seq("doc_id"), "left_semi")
     }
     val stats = idx.fieldStats()
-    val expCols = model.expansionColumns(exp, stats)
+    val expCols = {
+      val ec = model.expansionColumns(exp, stats)
+      // per-term weights (boostedQuery): the slot weight multiplies the
+      // model's expansion boost — constant within a slot, so the
+      // per-(doc, slot) max-merge is unchanged (max(w·s) = w·max(s))
+      if (ec.columns.contains("tboost")) {
+        require(ec.columns.contains("eboost"),
+          s"per-term boosts need a model with a multiplicative expansion " +
+            s"boost (eboost); ${model.getClass.getSimpleName} has none")
+        ec.withColumn("eboost", col("eboost") * col("tboost").cast("double"))
+      } else ec
+    }
     val joined = cand1.join(broadcast(expCols), col("term") === col("exp_term"))
     val scored = model.score(joined, stats, fb, qlenRaw, idx.numFields)
       .orderBy(col("score").desc, col("doc_id").asc)
