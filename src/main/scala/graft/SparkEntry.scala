@@ -346,7 +346,8 @@ object SparkEntry {
       qtSelect: String = "", exclTerms: Seq[String] = Nil,
       explainTopK: Int = 0, qpairs: Seq[(Int, String)] = Nil,
       minMatch: Int = 0, exactExp: Boolean = false,
-      factorExpr: String = "", termWeights: Seq[Double] = Nil): String = {
+      factorExpr: String = "", termWeights: Seq[Double] = Nil,
+      mustCount: Int = 0): String = {
     // qtSelect replaces the literal query-term VALUES with a COMPUTED
     // (qti, qterm) select — q61's more-like-this derives its query terms
     // from the data (the seed doc's tf-idf top terms)
@@ -420,14 +421,19 @@ object SparkEntry {
            |  GROUP BY p.doc_id, s.qti)""".stripMargin
        }${
          // conj doubles as the minimum-should-match set: `= n` for AND,
-         // `>= m` for m-of-n (the engine's minMatchFilter threshold)
+         // `>= m` for m-of-n (the engine's minMatchFilter threshold);
+         // mustCount (q79 bool): only the FIRST mustCount slots are
+         // required — the engine's conjunctiveFilter over the must clause
+         // alone, whose tokens lead the concatenated scored query
          val conjHaving =
-           if (conjunctive) s"= ${qterms.length}"
+           if (mustCount > 0) s"= $mustCount"
+           else if (conjunctive) s"= ${qterms.length}"
            else if (minMatch > 0) s">= $minMatch"
            else ""
+         val conjWhere = if (mustCount > 0) s" WHERE e.qti < $mustCount" else ""
          if (conjHaving.isEmpty) ""
          else s""",
-           |conj AS (SELECT p.doc_id FROM post p JOIN exp e ON p.term = e.eterm
+           |conj AS (SELECT p.doc_id FROM post p JOIN exp e ON p.term = e.eterm$conjWhere
            |        GROUP BY p.doc_id HAVING count(DISTINCT e.qti) $conjHaving)""".stripMargin
        }${if (exclTerms.isEmpty) ""
          else s""",
@@ -439,7 +445,7 @@ object SparkEntry {
            if (docWhere.nonEmpty)
              Some(s"doc_id IN (SELECT doc_id FROM documents $docWhere)")
            else None,
-           if (conjunctive || minMatch > 0)
+           if (conjunctive || minMatch > 0 || mustCount > 0)
              Some("doc_id IN (SELECT doc_id FROM conj)")
            else None,
            if (exclTerms.nonEmpty)
@@ -1596,7 +1602,71 @@ object SparkEntry {
       QueryEngine.boostedQuery(idx, "s^2.5 merge^0.5 key", BM25())
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // SLOPPY PHRASE (ordered proximity): "merge … group" with ≤ 2
+    // intervening tokens, through the SAME WAND block path as q56's exact
+    // phrase — only the verify regex differs. The oracle recomputes the
+    // proximity test with an independent regex engine (DuckDB RE2) over
+    // the same canonical token stream; top-20 cut tie-stable as in q24.
+    "q78_phrase_slop" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val pf = QueryEngine.phraseFilter(idx, docs(s, dir), "doc_id",
+        Seq("text"), "merge group", slop = 2)
+      graft.query.BlockMaxTopK.query(idx, IndexCache.blocks(s, dir),
+        "merge group", BM25(), k = 200, blockSize = IndexCache.BlockSize,
+        docFilter = Some(pf))
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Four-clause BOOL query: must="merge" (required AND scored),
+    // should="spark table" (scored only), mustNot="window" (excluded),
+    // filter = even doc ids (unscored attribute clause). The oracle
+    // recomputes each clause independently: conj over the first slot only
+    // (mustCount=1), NOT IN over the exclusion's prefix match set, the
+    // attribute predicate as docWhere — all over the same full scoring
+    // pipeline for the must+should term slots.
+    "q79_bool" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val even = docs(s, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"))
+      QueryEngine.boolQuery(idx, BM25(), must = "merge",
+        should = "spark table", mustNot = "window", docFilter = Some(even))
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // NUMERIC HISTOGRAM over a match set (the aggregation sibling of q60's
+    // facets): docs matching "merge spar" bucketed by text length into
+    // width-64 bins. Independent oracle: DuckDB recomputes the prefix
+    // match set and the floor-division binning from the raw table.
+    "q80_histogram" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      QueryEngine.histogram(idx, docs(s, dir), "doc_id",
+        length(col("text")), 64.0, "merge spar")
+    }),
+
+    // TERM VECTORS for three docs: per (doc, term) the doc-local
+    // occurrence count and the term's corpus df — the moreLikeThis seed
+    // relation as a first-class result. Oracle: the post/tdf CTEs joined
+    // and filtered to the same ids.
+    "q81_term_vectors" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      QueryEngine.termVectors(idx, Seq(3L, 7L, 11L))
+    }),
+
+    // DIS-MAX multi-field BM25 (tieBreaker 0.3): per term, best field +
+    // 0.3 × the rest, instead of the reference field sum — over the same
+    // two-field index and boosts as q30, so the two rules' outputs differ
+    // exactly by the combine. The oracle recomputes the dis-max combine at
+    // the same composition point (inside the per-(doc, qti) max).
+    "q82_bm25_dismax" -> ((s, dir) =>
+      QueryEngine.query(IndexCache.documentsMulti(s, dir), "merge src1",
+        BM25(tieBreaker = Some(0.3)), boosts = Seq(1.0, 2.0))
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy("doc_id"))
   )
 
   // ---------- oracles (DuckDB SQL over the same parquet tables) ----------
@@ -2351,6 +2421,84 @@ object SparkEntry {
     // esc CTE — the engine's exact composition point — then the unchanged
     // max/sum pipeline scores independently
     "q77_bm25_boosted" -> bm25Sql(Seq("s", "merge", "key"), "",
-      termWeights = Seq(2.5, 0.5, 1.0))
+      termWeights = Seq(2.5, 0.5, 1.0)),
+
+    // sloppy phrase: q56's oracle with the LIKE adjacency replaced by an
+    // ordered-proximity regex (≤ 2 intervening tokens) evaluated by
+    // DuckDB's OWN regex engine (RE2) over the same canonical stream
+    "q78_phrase_slop" -> bm25Sql(Seq("merge", "group"), "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20",
+      docWhere = "WHERE regexp_matches(' ' || array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ') || ' ', ' merge( [^ ]+){0,2} group ')"),
+
+    // bool: must (conj over slot 0 only) + should (scored slots 1-2) +
+    // must_not (prefix exclusion) + attribute filter, each clause
+    // recomputed independently over the shared scoring pipeline
+    "q79_bool" -> bm25Sql(Seq("merge", "spark", "table"), "",
+      mustCount = 1, exclTerms = Seq("window"),
+      docWhere = "WHERE doc_id % 2 = 0"),
+
+    // histogram: the prefix match set + floor-division binning recomputed
+    // from the raw table (sparse bins; count type BIGINT on both sides)
+    "q80_histogram" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs),
+        |m AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'merge%' OR term LIKE 'spar%')
+        |SELECT CAST(floor(length(text) / 64.0) AS BIGINT) AS bin, count(*) AS n_docs
+        |FROM docs WHERE doc_id IN (SELECT doc_id FROM m)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // term vectors: the post/tdf CTEs (occurrence tf, occurrence-summed
+    // df — the reference's pointer-counting semantics) joined and
+    // filtered to the gate's doc ids
+    "q81_term_vectors" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs),
+        |post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+        |tdf AS (SELECT term, sum(tf) AS df FROM post GROUP BY term)
+        |SELECT p.doc_id, p.term, CAST(p.tf AS BIGINT) AS occ, CAST(t.df AS BIGINT) AS df
+        |FROM post p JOIN tdf t ON p.term = t.term
+        |WHERE p.doc_id IN (3, 7, 11)
+        |ORDER BY p.doc_id, p.term""".stripMargin,
+
+    // dis-max two-field BM25: q30's oracle with the inner field SUM
+    // replaced by greatest + 0.3·(sum − greatest) — the combine applied
+    // inside the per-(doc, qti) max at the engine's exact composition
+    // point (idf/boost factored outside, equal up to f64 op order under
+    // the shared micro rounding)
+    "q82_bm25_dismax" ->
+      """WITH docs AS (SELECT doc_id, text, source FROM documents),
+        |tk0 AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs),
+        |tk1 AS (SELECT doc_id, unnest(list_filter(string_split(source, ' '), x -> x <> '')) AS term FROM docs),
+        |dl AS (SELECT d.doc_id, coalesce(a.c, 0) AS fl0, coalesce(b.c, 0) AS fl1
+        |       FROM docs d
+        |       LEFT JOIN (SELECT doc_id, count(*) AS c FROM tk0 GROUP BY doc_id) a ON d.doc_id = a.doc_id
+        |       LEFT JOIN (SELECT doc_id, count(*) AS c FROM tk1 GROUP BY doc_id) b ON d.doc_id = b.doc_id),
+        |st AS (SELECT count(*) AS n, sum(fl0) AS s0, sum(fl1) AS s1 FROM dl),
+        |p0 AS (SELECT term, doc_id, count(*) AS tf FROM tk0 GROUP BY term, doc_id),
+        |p1 AS (SELECT term, doc_id, count(*) AS tf FROM tk1 GROUP BY term, doc_id),
+        |post AS (SELECT coalesce(p0.term, p1.term) AS term,
+        |                coalesce(p0.doc_id, p1.doc_id) AS doc_id,
+        |                coalesce(p0.tf, 0) AS tf0, coalesce(p1.tf, 0) AS tf1
+        |         FROM p0 FULL JOIN p1 ON p0.term = p1.term AND p0.doc_id = p1.doc_id),
+        |tdf AS (SELECT term, sum(tf0 + tf1) AS df FROM post GROUP BY term),
+        |qt AS (SELECT * FROM (VALUES (0, 'merge'), (1, 'src1')) AS t(qti, qterm)),
+        |exp AS (SELECT qt.qti, qt.qterm, tdf.term AS eterm, tdf.df
+        |        FROM qt JOIN tdf ON tdf.term LIKE qt.qterm || '%'),
+        |esc AS (SELECT e.qti, e.eterm,
+        |  ln(1 + ((st.n - least(st.n, e.df)) + 0.5) / (least(st.n, e.df) + 0.5)) AS idf,
+        |  CASE WHEN e.eterm = e.qterm THEN 1.0
+        |       ELSE ln(1 + 1.0 / (1.0 + strlen(e.eterm) - strlen(e.qterm))) END AS boost
+        |  FROM exp e, st),
+        |fld AS (SELECT p.doc_id, p.term,
+        |  CASE WHEN p.tf0 > 0 THEN ((2.2 * p.tf0) / (1.2 * (0.25 + 0.75 * (d.fl0 / (st.s0 * 1.0 / st.n))) + p.tf0)) * 1.0 ELSE 0.0 END AS f0,
+        |  CASE WHEN p.tf1 > 0 THEN ((2.2 * p.tf1) / (1.2 * (0.25 + 0.75 * (d.fl1 / (st.s1 * 1.0 / st.n))) + p.tf1)) * 2.0 ELSE 0.0 END AS f1
+        |  FROM post p JOIN dl d ON d.doc_id = p.doc_id, st),
+        |sc AS (SELECT f.doc_id, s.qti,
+        |  max((greatest(f.f0, f.f1) + 0.3 * ((f.f0 + f.f1) - greatest(f.f0, f.f1)))
+        |      * s.idf * s.boost) AS mts
+        |  FROM fld f JOIN esc s ON f.term = s.eterm
+        |  GROUP BY f.doc_id, s.qti)
+        |SELECT doc_id, CAST(round(sum(mts) * 1000000.0) AS BIGINT) AS score_micro
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

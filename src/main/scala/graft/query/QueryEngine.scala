@@ -404,13 +404,21 @@ object QueryEngine {
     * ranks the phrase-matching docs by the phrase terms' BM25 (corpus-level
     * stats), and the same frame drops into [[BlockMaxTopK.query]] — θ seeds
     * from phrase-matching docs only, so WAND prunes HARDER under a phrase.
+    *
+    * `slop > 0` relaxes adjacency to ORDERED PROXIMITY: phrase terms must
+    * appear in order with at most `slop` intervening tokens between each
+    * adjacent pair (slop = 0 ≡ the exact phrase; a slop result set is
+    * always a superset, pinned by PhraseSpec). Phase 1 is unchanged —
+    * candidates are still bounded by the rarest term's df — only the
+    * verify predicate widens (one literal-regex search per field).
     */
   def phraseFilter(idx: InvertedIndex, docs: DataFrame, docIdCol: String,
       fieldCols: Seq[String], phrase: String,
       tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
       tokensCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         Analyzer.tokensCol,
-      maxCollectedCandidates: Int = 65536): DataFrame = {
+      maxCollectedCandidates: Int = 65536,
+      slop: Int = 0): DataFrame = {
     val spark = idx.postings.sparkSession
     def none = emptyFrame(spark, "doc_id" -> LongType)
     val terms = tokenizer(phrase).filter(_.nonEmpty)
@@ -431,11 +439,24 @@ object QueryEngine {
       .agg(countDistinct(col("term")).as("nmatched"))
       .filter(col("nmatched") === lit(distinctTerms.length))
       .select(col("doc_id"))
-    val needle = " " + terms.mkString(" ") + " "
-    val adjacent = fieldCols.map { f =>
-      instr(concat(lit(" "), array_join(tokensCol(col(f)), " "), lit(" ")),
-        needle) > 0
-    }.reduce(_ || _)
+    // Verify predicate over the padded canonical token stream. slop = 0 is
+    // plain substring (`instr`, the cheapest codegen'd form); slop > 0 is
+    // ORDERED PROXIMITY — up to `slop` intervening tokens between each
+    // ADJACENT phrase-term pair — as one literal-pattern regex search
+    // (`t1( [^ ]+){0,slop} t2 …`; RLike with a literal pattern compiles
+    // once and stays in whole-stage codegen). The `java ∩ RE2` dialect:
+    // terms are per-char escaped, no \Q\E, so external engines agree.
+    val padded = fieldCols.map(f =>
+      concat(lit(" "), array_join(tokensCol(col(f)), " "), lit(" ")))
+    val adjacent =
+      if (slop <= 0) {
+        val needle = " " + terms.mkString(" ") + " "
+        padded.map(p => instr(p, needle) > 0).reduce(_ || _)
+      } else {
+        val pat = " " + terms.map(regexEscapeTerm)
+          .mkString(s"( [^ ]+){0,$slop} ") + " "
+        padded.map(_.rlike(pat)).reduce(_ || _)
+      }
     val base = docs.select(
       col(docIdCol).cast("long").as("doc_id") +: fieldCols.map(col): _*)
     val collected = cand.limit(maxCollectedCandidates + 1).collect()
@@ -446,6 +467,14 @@ object QueryEngine {
       } else base.join(cand, Seq("doc_id"), "left_semi")
     verified.filter(adjacent).select(col("doc_id"))
   }
+
+  /** Escape one token for use as a regex LITERAL in both Java regex and RE2
+    * (per-char escaping — `\Q…\E` avoided so the pattern stays in the
+    * `java ∩ RE2` dialect external engines share).
+    */
+  private[graft] def regexEscapeTerm(t: String): String =
+    t.flatMap(c =>
+      if ("\\^$.|?*+()[]{}".indexOf(c.toInt) >= 0) s"\\$c" else c.toString)
 
   /** BATCHED multi-query search — score a whole query workload in ONE pass
     * over the posting store. The eval / offline-serving shape: at 10^12
@@ -565,10 +594,11 @@ object QueryEngine {
       boosts: Seq[Double] = Nil, limit: Int = -1,
       tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
       tokensCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        Analyzer.tokensCol): DataFrame =
+        Analyzer.tokensCol,
+      slop: Int = 0): DataFrame =
     query(idx, phrase, model, boosts, limit, tokenizer = tokenizer,
       docFilter = Some(phraseFilter(idx, docs, docIdCol, fieldCols, phrase,
-        tokenizer, tokensCol)))
+        tokenizer, tokensCol, slop = slop)))
 
   /** SYNONYM-EXPANDED query: each query term matches ITSELF plus its
     * synonym variants, all under the SAME query-term slot (qti) — so the
@@ -928,6 +958,61 @@ object QueryEngine {
       .join(matchedDocs(idx, excludeQuery, maxCollectedExpansions, tokenizer),
         Seq("doc_id"), "left_anti")
 
+  /** Full BOOLEAN query — the four-clause `bool` composition (search-syntax
+    * `must` / `should` / `must_not` / `filter`) in one call, built ENTIRELY
+    * from the existing seams so it adds no new plan shape:
+    *
+    *  - SCORING: the ordinary disjunctive [[query]] over the concatenation
+    *    `must ++ should` — every clause term occupies its own query-term
+    *    slot, so must terms contribute to the score exactly like should
+    *    terms (the standard bool-query rule: `must` restricts AND scores).
+    *  - `must`: every must term slot matched (any expansion) —
+    *    [[conjunctiveFilter]] over the must string alone.
+    *  - `must_not`: the exclusion's match set anti-joined off —
+    *    [[matchedDocs]], as in [[exclusionFilter]].
+    *  - `filter` (`docFilter`): an arbitrary allowed-doc frame (attribute
+    *    predicates, a phrase filter, another bool…) — unscored, semi-joined.
+    *
+    * All clause frames compose through the ONE `docFilter` seam, so the
+    * result drops into [[BlockMaxTopK.query]] unchanged and WAND pruning
+    * stays sound (restricting the doc set only lowers the true θ; the
+    * probe seeds from allowed docs only). Scale shape: each clause is the
+    * same term-pruned scan its standalone operator uses — bounded by its
+    * terms' df, never corpus size — plus one semi/anti join each.
+    *
+    * At least one of `must` / `should` must be non-empty (something has to
+    * produce candidates); empty `mustNot` and `docFilter = None` are no-ops.
+    */
+  def boolQuery(idx: InvertedIndex, model: ScoreModel,
+      must: String = "", should: String = "", mustNot: String = "",
+      boosts: Seq[Double] = Nil, limit: Int = -1,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw,
+      docFilter: Option[DataFrame] = None): DataFrame = {
+    val hasMust = tokenizer(must).exists(_.nonEmpty)
+    val hasShould = tokenizer(should).exists(_.nonEmpty)
+    require(hasMust || hasShould,
+      "boolQuery needs a non-empty must or should clause")
+    val scoredQuery = s"$must $should".trim
+    var allowed: Option[DataFrame] = docFilter
+    if (hasMust) {
+      val conj = conjunctiveFilter(idx, must, maxCollectedExpansions, tokenizer)
+      allowed = Some(allowed.fold(conj) { f =>
+        require(f.columns.contains("doc_id"), "docFilter needs a doc_id column")
+        conj.join(f.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      })
+    }
+    if (tokenizer(mustNot).exists(_.nonEmpty)) {
+      val base = allowed.getOrElse(
+        matchedDocs(idx, scoredQuery, maxCollectedExpansions, tokenizer))
+      allowed = Some(base.join(
+        matchedDocs(idx, mustNot, maxCollectedExpansions, tokenizer),
+        Seq("doc_id"), "left_anti"))
+    }
+    query(idx, scoredQuery, model, boosts, limit, maxCollectedExpansions,
+      tokenizer, docFilter = allowed)
+  }
+
   /** FACET COUNTS over a query's match set — the results-page sidebar
     * ("source: src1 (12), src2 (7), …"): for each value of `facetCol`
     * among matching documents, the matching-doc count. One term-pruned
@@ -949,6 +1034,70 @@ object QueryEngine {
       // external SQL oracle (DuckDB default NULLS LAST), not Spark's
       // default NULLS FIRST
       .orderBy(col("n_docs").desc, col("facet").asc_nulls_last)
+
+  /** NUMERIC HISTOGRAM over a query's match set — [[facetCounts]]' sibling
+    * for continuous attributes (the results-page "length / size / date"
+    * bar chart, the `histogram` aggregation in search-API terms): matching
+    * docs bucketed into fixed-width bins of `value`, one count per bin.
+    * `value` is any column expression over `docs` (an attribute, a
+    * computed length, an epoch), `bin = floor(value / binWidth)`; empty
+    * bins are absent (sparse output — at 100 TB a dense fill would
+    * materialize the domain, the caller can densify k rows driver-side).
+    *
+    * Plan shape: the match set's term-pruned scan, one semi-join into a
+    * column-pruned `(id, value)` projection, one narrow groupBy whose
+    * cardinality is the bin count. Returns `(bin, n_docs)` ordered bin asc.
+    */
+  def histogram(idx: InvertedIndex, docs: DataFrame, docIdCol: String,
+      value: org.apache.spark.sql.Column, binWidth: Double,
+      queryString: String, maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    docs.select(col(docIdCol).cast("long").as("doc_id"),
+        floor(value.cast("double") / lit(binWidth)).cast("long").as("bin"))
+      .join(matchedDocs(idx, queryString, maxCollectedExpansions, tokenizer),
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bin").asc)
+  }
+
+  /** TERM VECTORS: per-document term statistics for a (small) set of docs
+    * — each live `(doc_id, term)` with the doc-local occurrence count and
+    * the term's LIVE corpus df (the search-API `termvectors` endpoint; the
+    * raw material [[moreLikeThis]] ranks its seed terms from, exposed as a
+    * first-class result). Returns `(doc_id, term, occ, df)` ordered
+    * (doc_id, term).
+    *
+    * Scale shape: the docs' posting rows come from ONE `doc_id IN` scan
+    * whose OUTPUT is bounded by Σ doc distinct-term counts — but the scan
+    * itself reads the store (it's partitioned by TERM bucket; doc point
+    * lookups are the one access that layout doesn't index — a deployment
+    * serving high-rate termvectors would add a doc-keyed projection).
+    * The df recount IS bucket-partition-pruned to exactly those terms'
+    * buckets. The term set transits the driver (bounded by doc LENGTH ×
+    * #docs, not corpus), same as [[moreLikeThis]]'s seed stage.
+    */
+  def termVectors(idx: InvertedIndex, docIds: Seq[Long]): DataFrame = {
+    val spark = idx.postings.sparkSession
+    def none = emptyFrame(spark, "doc_id" -> LongType, "term" -> StringType,
+      "occ" -> LongType, "df" -> LongType)
+    if (docIds.isEmpty) return none
+    val rows = idx.livePostings.filter(col("doc_id").isin(docIds: _*))
+      .select(col("doc_id"), col("term"), col("occ").cast("long").as("occ"))
+    val terms = rows.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty) return none
+    val bucketCol =
+      if (idx.termdict.columns.contains("bucket")) col("bucket") else lit(-1)
+    val buckets = idx.termdict.filter(col("term").isin(terms: _*))
+      .select(bucketCol.cast("int")).collect().map(_.getInt(0)).distinct.toSeq
+    val dfs = idx.livePostings
+      .filter(candidatePredicate(idx, terms, buckets))
+      .groupBy(col("term")).agg(sum(col("occ")).as("df"))
+    rows.join(dfs, Seq("term"))
+      .select(col("doc_id"), col("term"), col("occ"), col("df"))
+      .orderBy(col("doc_id").asc, col("term").asc)
+  }
 
   /** MORE-LIKE-THIS: find documents similar to `docId`, by using the doc's
     * own most SALIENT terms as the query. Salience = `occ × idf` (total

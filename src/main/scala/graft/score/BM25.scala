@@ -39,8 +39,24 @@ import graft.index.FieldStats
   * (all published reference vectors reproduce at 1e-8, GoldenBm25Spec) and
   * is the documented intent of the merger ("max score per query term,
   * summed"). Pinned by EdgeCaseSpec "merge rule canonicalization".
+  *
+  * FIELD COMBINATION (`tieBreaker`): by default per-field contributions are
+  * SUMMED in field order (the reference rule above). `tieBreaker = Some(t)`
+  * switches to DIS-MAX — `best + t·(Σ − best)` over the per-field
+  * contributions — the standard multi-field rule when fields are
+  * alternative representations of the same text (title/body) rather than
+  * independent evidence: a doc is ranked by its best field, with the
+  * others worth a fraction `t`. `t = 1` IS the sum; `t = 0` is pure max.
+  * The reference is single-rule (sum); dis-max is a pure extension on the
+  * same per-field tfn columns. WAND STAYS SOUND UNDER DIS-MAX with the
+  * unchanged Σ-shaped [[blockUpperBound]]: for t ∈ [0,1] and non-negative
+  * parts, best + t·(Σ − best) ≤ Σ, so the summed bound dominates every
+  * dis-max score (pinned by DisMaxSpec).
   */
-final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends ScoreModel {
+final case class BM25(k1: Double = 1.2, b: Double = 0.75,
+    tieBreaker: Option[Double] = None) extends ScoreModel {
+  require(tieBreaker.forall(t => t >= 0.0 && t <= 1.0),
+    "tieBreaker must be in [0, 1] (1 = field sum, 0 = pure max)")
 
   override def expansionColumns(exp: DataFrame, stats: FieldStats): DataFrame = {
     val n = stats.n
@@ -110,15 +126,24 @@ final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends ScoreModel {
     * Σ_fields tfn·idf·boost_x·eboost (bm25.rs:60-93).
     */
   private def termScoreCol(stats: FieldStats, boosts: Seq[Double],
-      numFields: Int): Column =
-    (0 until numFields).map { x =>
+      numFields: Int): Column = {
+    val parts = (0 until numFields).map { x =>
       val tf = element_at(col("tf"), x + 1).cast("double")
       val fl = element_at(col("fl"), x + 1).cast("double")
       val tfn = (lit(k1 + 1.0) * tf) /
         (lit(k1) * (lit(1.0 - b) + lit(b) * (fl / lit(stats.avgs(x)))) + tf)
       when(tf > 0, tfn * col("idf") * lit(boosts(x)) * col("eboost"))
         .otherwise(lit(0.0))
-    }.reduce(_ + _)
+    }
+    tieBreaker match {
+      // reference rule: plain field sum, expression unchanged (bit-faithful)
+      case None => parts.reduce(_ + _)
+      case Some(t) =>
+        val sum = parts.reduce(_ + _)
+        val best = if (parts.size == 1) parts.head else greatest(parts: _*)
+        best + lit(t) * (sum - best)
+    }
+  }
 
   /** BM25's score IS Σ_queryTerms max_expansions, so the per-term breakdown
     * is the scoring pipeline stopped before the final sum: for each

@@ -51,6 +51,68 @@ class PhraseSpec extends TestBase {
     assert(got == Set(1L, 3L, 5L))
   }
 
+  test("slop: ordered per-gap proximity == hand truth; monotone in slop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b"),        // adjacent
+      (2L, "a x b"),      // 1 intervening
+      (3L, "a x y b"),    // 2 intervening
+      (4L, "a x y z b"),  // 3 intervening — beyond slop 2
+      (5L, "b x a"),      // wrong order never matches
+      (6L, "a b c a x c") // 3-term chains get a PER-GAP budget
+    ).toDF("doc_id", "text")
+    val idx = IndexBuilder.build(df, "doc_id", Seq("text"))
+    def run(p: String, slop: Int) =
+      QueryEngine.phraseFilter(idx, df, "doc_id", Seq("text"), p, slop = slop)
+        .collect().map(_.getLong(0)).toSet
+    assert(run("a b", 0) == Set(1L, 6L))
+    assert(run("a b", 1) == Set(1L, 2L, 6L))
+    assert(run("a b", 2) == Set(1L, 2L, 3L, 6L))
+    assert(run("a b", 3) == Set(1L, 2L, 3L, 4L, 6L))
+    // 'a c': doc 6 has both 'a b c' (gap 1) and 'a x c' (gap 1)
+    assert(run("a c", 0) == Set.empty && run("a c", 1) == Set(6L))
+    // 3-term chain 'a b c' exact; 'a c a' needs slop on BOTH gaps
+    assert(run("a b c", 0) == Set(6L))
+    assert(run("c a c", 1) == Set(6L)) // c [b skipped? no: 'c a x c'] gaps 0,1
+  }
+
+  test("slop terms are regex-escaped ('.' is a literal, not a wildcard)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x . bar"),  // literal dot one token before bar
+      (2L, "q bar .")   // contains both tokens, but '. bar' never in order
+    ).toDF("doc_id", "text")
+    val idx = IndexBuilder.build(df, "doc_id", Seq("text"))
+    val got = QueryEngine.phraseFilter(idx, df, "doc_id", Seq("text"),
+      ". bar", slop = 1).collect().map(_.getLong(0)).toSet
+    // an unescaped '.' would also match doc 2 (' q bar ' ⊃ ' <any> bar ')
+    assert(got == Set(1L))
+  }
+
+  test("slop on the generated corpus: superset of exact, equal at slop 0") {
+    val src = tools.SourceCodeGen.generate(spark, 800).cache()
+    val idx = IndexBuilder.build(src, "doc_id", Seq("content")).cached()
+    val rows = src.select(col("doc_id"), col("content")).collect()
+      .map(r => (r.getLong(0), Analyzer.tokenize(r.getString(1)))).toSeq
+    val (t1, t2) = ("import", "ident1")
+    def truth(slop: Int): Set[Long] = rows.collect { case (id, ts)
+      if ts.zipWithIndex.exists { case (x, i) => x == t1 &&
+        (i + 1 to math.min(ts.length - 1, i + 1 + slop))
+          .exists(j => ts(j) == t2) } => id
+    }.toSet
+    def run(slop: Int) = QueryEngine.phraseFilter(idx, src, "doc_id",
+      Seq("content"), s"$t1 $t2", slop = slop)
+      .collect().map(_.getLong(0)).toSet
+    val exact = run(0)
+    for (s <- Seq(0, 1, 3)) {
+      val g = run(s)
+      assert(g == truth(s), s"slop $s: got ${g.size}, want ${truth(s).size}")
+      assert(exact.subsetOf(g))
+    }
+    assert(truth(3).size > exact.size, "slop never widened — vacuous fixture")
+    idx.unpersist(); src.unpersist()
+  }
+
   test("single-token phrase == docs containing the exact term") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta"), (2L, "alphabet"), (3L, "beta alpha"))
