@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.index.{IndexBuilder, InvertedIndex, Mutations}
 import graft.pipeline.{Dedup, Multimodal, Packing, Sampling, Similarity, TextStats}
-import graft.query.QueryEngine
+import graft.query.{QueryEngine, ShardedSearch}
 import graft.score.{BM25, ZeroToOne}
 
 /** Build-once-query-many cache of the documents index per testdata dir
@@ -1666,7 +1666,38 @@ object SparkEntry {
       QueryEngine.query(IndexCache.documentsMulti(s, dir), "merge src1",
         BM25(tieBreaker = Some(0.3)), boosts = Seq(1.0, 2.0))
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // SIGNIFICANT TERMS over the "spar merge" match set: per term, its
+    // over-representation (lift over doc counts) vs the background corpus,
+    // top-15 with a doc-count floor of 3. The cut is decided on the exact
+    // f64 division of long products on BOTH sides (no intermediate
+    // rounding), so the oracle's ORDER BY reproduces it bit-identically;
+    // the emitted score is micro-rounded as usual.
+    "q83_sigterms" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      QueryEngine.significantTerms(idx, "spar merge", topN = 15,
+        minDocCount = 3L)
+        .select(col("term"), col("fg_df"), col("bg_df"),
+          micro(col("score")).as("score_micro"))
+        .orderBy(col("term"))
+    }),
+
+    // DFS SCATTER-GATHER top-k: three disjoint shards built independently,
+    // each scored locally against the globally folded dictionary + field
+    // stats, per-shard top-k unioned and cut — must be indistinguishable
+    // from the single-index query, so the oracle is q24's full-corpus
+    // top-20 (k=200 retrieval then the tie-stable micro cut, as q24).
+    "q84_dfs_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val shards = Seq(0, 1, 2).map(r =>
+        IndexBuilder.build(d.filter(col("doc_id") % 3 === r), "doc_id",
+          Seq("text")))
+      ShardedSearch.dfsTopK(shards, "spar merge", BM25(), k = 200)
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
+    })
   )
 
   // ---------- oracles (DuckDB SQL over the same parquet tables) ----------
@@ -2499,6 +2530,30 @@ object SparkEntry {
         |  FROM fld f JOIN esc s ON f.term = s.eterm
         |  GROUP BY f.doc_id, s.qti)
         |SELECT doc_id, CAST(round(sum(mts) * 1000000.0) AS BIGINT) AS score_micro
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // significant terms: doc-counted fg/bg term frequencies + the lift
+    // score recomputed from the raw table; the top-15 cut decided on the
+    // IDENTICAL exact-long-product f64 division (one rounding at the end)
+    "q83_sigterms" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs),
+        |m AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'spar%' OR term LIKE 'merge%'),
+        |fgn AS (SELECT count(*) AS fg_n FROM m),
+        |bgn AS (SELECT count(*) AS bg_n FROM docs),
+        |td AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+        |fgdf AS (SELECT term, count(*) AS fg_df FROM td WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY term),
+        |bgdf AS (SELECT term, count(*) AS bg_df FROM td GROUP BY term)
+        |SELECT term, CAST(fg_df AS BIGINT) AS fg_df, CAST(bg_df AS BIGINT) AS bg_df,
+        |  CAST(round(1000000.0 * (CAST(fg_df * bg_n AS DOUBLE) / CAST(fg_n * bg_df AS DOUBLE))) AS BIGINT) AS score_micro
+        |FROM fgdf JOIN bgdf USING (term), fgn, bgn
+        |WHERE fg_df >= 3
+        |ORDER BY CAST(fg_df * bg_n AS DOUBLE) / CAST(fg_n * bg_df AS DOUBLE) DESC, term ASC
+        |LIMIT 15""".stripMargin,
+
+    // dfs scatter-gather == the single-index query: q24's full-corpus
+    // top-20 oracle verbatim (global stats make sharding invisible)
+    "q84_dfs_topk" -> bm25Sql(Seq("spar", "merge"), "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20")
   )
 }

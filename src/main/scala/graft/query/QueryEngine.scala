@@ -1061,6 +1061,53 @@ object QueryEngine {
       .orderBy(col("bin").asc)
   }
 
+  /** SIGNIFICANT TERMS over a query's match set — the "what's different
+    * about these results" aggregation (search-API `significant_terms`):
+    * for each term appearing in matching documents, how over-represented
+    * it is vs the background corpus, scored by LIFT
+    * `(fg_df / fg_n) / (bg_df / bg_n)` over DOC counts (fg = matching
+    * docs, bg = all live docs). A term every doc contains scores ≈ 1; a
+    * term concentrated in the match set scores up to `bg_n / fg_n`.
+    * Returns the top `topN` by (score desc, term asc) as
+    * `(term, fg_df, bg_df, score)`; `minDocCount` suppresses
+    * one-off noise terms (lift is maximal for a term in a single matching
+    * doc, so a floor is the standard knob).
+    *
+    * The score is computed as ONE f64 division of exact long products
+    * (`(fg_df·bg_n) / (fg_n·bg_df)`) so external recomputation is
+    * bit-identical — no intermediate rounding to drift the topN cut.
+    *
+    * Plan shape: the match set's term-pruned scan; fg term counts from a
+    * semi-join of the posting store against the match set (one row per
+    * (term, doc) ⇒ `count(1)` IS the doc count), partial-aggregated
+    * map-side; bg term counts are a full posting-store scan + vocab-sized
+    * aggregate — the honest cost of a corpus-background statistic (a
+    * deployment serving many such aggregations computes bg ONCE per index
+    * generation and reuses it; it is exactly a doc-counted `termdict`).
+    * The two 1-row totals ride as broadcast cross joins, so the whole
+    * aggregation is one job with no driver action.
+    */
+  def significantTerms(idx: InvertedIndex, queryString: String, topN: Int,
+      minDocCount: Long = 1L, maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val fg = matchedDocs(idx, queryString, maxCollectedExpansions, tokenizer)
+    val fgN = fg.agg(count(lit(1)).as("fg_n"))
+    val bgN = idx.liveDocstats.agg(count(lit(1)).as("bg_n"))
+    val fgDf = idx.livePostings.join(fg, Seq("doc_id"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("fg_df"))
+    val bgDf = idx.livePostings
+      .groupBy(col("term")).agg(count(lit(1)).as("bg_df"))
+    fgDf.join(bgDf, Seq("term"))
+      .crossJoin(broadcast(fgN)).crossJoin(broadcast(bgN))
+      .filter(col("fg_df") >= lit(minDocCount))
+      .withColumn("score", (col("fg_df") * col("bg_n")).cast("double") /
+        (col("fg_n") * col("bg_df")).cast("double"))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(topN)
+      .select(col("term"), col("fg_df"), col("bg_df"), col("score"))
+  }
+
   /** TERM VECTORS: per-document term statistics for a (small) set of docs
     * — each live `(doc_id, term)` with the doc-local occurrence count and
     * the term's LIVE corpus df (the search-API `termvectors` endpoint; the

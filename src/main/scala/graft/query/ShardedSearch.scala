@@ -1,0 +1,80 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.index.InvertedIndex
+import graft.score.ScoreModel
+
+/** Scatter-gather top-k over independently built shards — the SERVING
+  * topology for a sharded deployment (search-engine "DFS query-then-fetch"):
+  * instead of merging shards into one logical index and scanning them
+  * together ([[InvertedIndex.merge]] / q70), each shard answers the query
+  * LOCALLY and only k-sized result lists cross shard boundaries.
+  *
+  * Exactness requires one piece of global state: BM25/zero-to-one scores
+  * depend on corpus-level statistics (df, avgFieldLength, N — reference
+  * bm25.rs:44-58 reads them off the whole index), and shard-local stats
+  * would rank the same doc differently per shard. So phase 1 (the "DFS"
+  * pre-query) folds the GLOBAL term dictionary and field stats — a
+  * vocab-sized `sum(df)` and a 1-row arithmetic fold, the same cross-shard
+  * state [[InvertedIndex.merge]] computes — and phase 2 runs the ordinary
+  * [[QueryEngine.query]] on each shard AGAINST THE GLOBAL STATS. Every
+  * doc's score then equals its single-index score exactly, so the union of
+  * per-shard top-k lists contains the true global top-k, and one final
+  * k-bounded sort finishes it (TakeOrderedAndProject over shards × k rows —
+  * never a corpus-sized set).
+  *
+  * Tombstones are folded per shard BEFORE the global phase (live postings /
+  * docstats, live-df recount when any shard carries tombstones), so deleted
+  * docs neither match nor contribute to any statistic.
+  *
+  * Scale shape: each shard's work is the same term/bucket-pruned scan its
+  * standalone query would do; the global dictionary is the ONE shuffle
+  * (vocab-sized, computed once per index generation in a real deployment,
+  * not per query); the gather stage moves `shards × k` rows. This composes
+  * with [[InvertedIndex.merge]]'s build topology: index shards
+  * independently, serve them scatter-gather.
+  */
+object ShardedSearch {
+
+  /** Exact global top-k over `shards` (disjoint doc-id sets, same field
+    * layout + tokenizer — [[InvertedIndex.merge]]'s caller contract).
+    * Returns `(doc_id, score)`, the same columns and (score desc, doc_id
+    * asc) order as [[QueryEngine.query]] with `limit = k`.
+    */
+  def dfsTopK(shards: Seq[InvertedIndex], queryString: String,
+      model: ScoreModel, k: Int, boosts: Seq[Double] = Nil,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+    require(shards.nonEmpty, "at least one shard")
+    require(k > 0, "k must be positive")
+    val merged = shards.reduce(InvertedIndex.merge)
+    // phase 1 — global statistics. Under tombstones anywhere the dict df
+    // must be the LIVE occurrence sum (the same recount the single-index
+    // query path does), else the merged sum(df) is already live.
+    val gdict =
+      if (merged.hasTombstones)
+        merged.livePostings.groupBy(col("term"))
+          .agg(sum(col("occ")).cast("long").as("df"))
+      else merged.termdict
+    val gstats = merged.fieldStats()
+    // phase 2 — each shard scores with the global dictionary + stats. The
+    // local handle pre-folds the shard's tombstones into its postings and
+    // presents the globals as trusted hints (hasTombstones = false), so
+    // the ordinary query path neither recounts df shard-locally nor
+    // recomputes stats from shard-local docstats.
+    val locals = shards.map { sh =>
+      InvertedIndex(postings = sh.livePostings, docstats = sh.liveDocstats,
+        termdict = gdict, tombstones = sh.tombstones.limit(0),
+        numFields = sh.numFields, hasTombstones = false,
+        statsHint = Some(gstats))
+    }
+    locals.map(h => QueryEngine.query(h, queryString, model, boosts,
+        limit = k, maxCollectedExpansions, tokenizer))
+      .reduce(_ union _)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}
