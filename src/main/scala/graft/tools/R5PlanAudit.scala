@@ -106,6 +106,33 @@ object R5PlanAudit {
       QueryEngine.query(idx, "spar merge", BM25()), docs, "doc_id",
       Seq("n_chars"), "score",
       lit(1000.0) / (lit(1000L) + col("n_chars"))).explain("formatted")
+
+    println("=== phraseFilter('merge group', slop=2) ===")
+    QueryEngine.phraseFilter(idx, docs, "doc_id", Seq("text"),
+      "merge group", slop = 2).explain("formatted")
+
+    println("=== boolQuery(must=merge, should=spark table, mustNot=window) ===")
+    QueryEngine.boolQuery(idx, BM25(), must = "merge",
+      should = "spark table", mustNot = "window", limit = 20)
+      .explain("formatted")
+
+    println("=== histogram(length(text)/64, 'merge spar') ===")
+    QueryEngine.histogram(idx, docs, "doc_id", length(col("text")), 64.0,
+      "merge spar").explain("formatted")
+
+    println("=== termVectors(3, 7, 11) ===")
+    QueryEngine.termVectors(idx, Seq(3L, 7L, 11L)).explain("formatted")
+
+    println("=== significantTerms('spar merge', top 15) ===")
+    QueryEngine.significantTerms(idx, "spar merge", topN = 15,
+      minDocCount = 3L).explain("formatted")
+
+    println("=== dfsTopK(3 shards, 'spar merge', k=20) ===")
+    val s3 = Seq(0, 1, 2).map(r =>
+      IndexBuilder.build(docs.filter(col("doc_id") % 3 === r), "doc_id",
+        Seq("text")))
+    graft.query.ShardedSearch.dfsTopK(s3, "spar merge", BM25(), k = 20)
+      .explain("formatted")
     spark.stop()
   }
 }
