@@ -94,6 +94,31 @@ class SigTermsDfsSpec extends TestBase {
     src.unpersist()
   }
 
+  test("dfsTopK over PERSISTED shard roots == single persisted build") {
+    import graft.index.IndexCatalog
+    val src = tools.SourceCodeGen.generate(spark, 300).cache()
+    val base = java.nio.file.Files.createTempDirectory("dfs_roots").toString
+    val roots = Seq(0, 1).map { r =>
+      val root = s"$base/shard$r"
+      IndexCatalog.build(src.filter(col("doc_id") % 2 === r), "doc_id",
+        Seq("content"), root, nBuckets = 8)
+      root
+    }
+    val fullRoot = s"$base/full"
+    IndexCatalog.build(src, "doc_id", Seq("content"), fullRoot, nBuckets = 8)
+    val want = QueryEngine.query(IndexCatalog.read(spark, fullRoot),
+        "import src", graft.score.BM25(), limit = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = ShardedSearch.dfsTopK(
+        roots.map(IndexCatalog.read(spark, _)), "import src",
+        graft.score.BM25(), k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == want.map(_._1) && got.nonEmpty)
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-9) }
+    src.unpersist()
+  }
+
   test("dfsTopK degenerate shapes: one shard == plain query; bad args loud") {
     val src = tools.SourceCodeGen.generate(spark, 120).cache()
     val idx = IndexBuilder.build(src, "doc_id", Seq("content"))
