@@ -1697,6 +1697,28 @@ object SparkEntry {
         .select(col("doc_id"), micro(col("score")).as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id").asc)
         .limit(20)
+    }),
+
+    // COMPLETION SUGGESTER: top-12 dictionary terms under prefix 's' by
+    // occurrence-summed df — the cut is on exact BIGINT (df, term) order,
+    // so the oracle reproduces it with no float anywhere.
+    "q85_complete" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      QueryEngine.complete(idx, "s", 12).orderBy(col("term"))
+    }),
+
+    // STATS AGGREGATION over the "merge spar" match set: count/min/max/
+    // sum/avg of text length in one row. Lengths are integers < 2^53, so
+    // the f64 sum is exact and partition-order-independent; min/max/sum/
+    // avg emitted micro-rounded as usual.
+    "q86_matchstats" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      QueryEngine.matchStats(idx, docs(s, dir), "doc_id",
+        length(col("text")), "merge spar")
+        .select(col("n_docs"), micro(col("min_v")).as("min_micro"),
+          micro(col("max_v")).as("max_micro"),
+          micro(col("sum_v")).as("sum_micro"),
+          micro(col("avg_v")).as("avg_micro"))
     })
   )
 
@@ -2554,6 +2576,31 @@ object SparkEntry {
     // dfs scatter-gather == the single-index query: q24's full-corpus
     // top-20 oracle verbatim (global stats make sharding invisible)
     "q84_dfs_topk" -> bm25Sql(Seq("spar", "merge"), "",
-      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20")
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20"),
+
+    // completion: the occurrence-summed dictionary recomputed from the
+    // raw table, ranked (df desc, term asc) — all-integer cut
+    "q85_complete" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs),
+        |post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+        |tdf AS (SELECT term, sum(tf) AS df FROM post GROUP BY term)
+        |SELECT term, CAST(df AS BIGINT) AS df FROM tdf
+        |WHERE term LIKE 's%'
+        |ORDER BY df DESC, term ASC LIMIT 12""".stripMargin,
+
+    // stats over the match set: the same five aggregates over the same
+    // integer-valued lengths (f64-exact, order-independent)
+    "q86_matchstats" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs),
+        |m AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'merge%' OR term LIKE 'spar%'),
+        |v AS (SELECT CAST(length(text) AS DOUBLE) AS v FROM docs WHERE doc_id IN (SELECT doc_id FROM m))
+        |SELECT count(*) AS n_docs,
+        |  CAST(round(min(v) * 1000000.0) AS BIGINT) AS min_micro,
+        |  CAST(round(max(v) * 1000000.0) AS BIGINT) AS max_micro,
+        |  CAST(round(sum(v) * 1000000.0) AS BIGINT) AS sum_micro,
+        |  CAST(round(avg(v) * 1000000.0) AS BIGINT) AS avg_micro
+        |FROM v""".stripMargin
   )
 }

@@ -1431,4 +1431,57 @@ object QueryEngine {
       else idx.termdict.filter(col("term").startsWith(lit(term)))
     dict.filter(col("df") > 0).select(col("term")).orderBy(col("term"))
   }
+
+  /** COMPLETION SUGGESTER (search-as-you-type): the live dictionary terms
+    * under `prefix`, ranked most-frequent first — [[expandTerm]]'s
+    * resolution (same live-df recount under tombstones) with the ranking a
+    * completion UI needs: (df desc, term asc), cut to `n`. df keeps the
+    * index's occurrence-summed semantics (reference `count_documents`
+    * counts pointers), so the ranking is "most typed", not "most docs".
+    * Returns `(term, df)`.
+    *
+    * Scale shape: one vocab-sized dictionary scan (never the posting
+    * store) + a TakeOrderedAndProject(n) — same cost class as
+    * [[suggest]]'s dictionary pass. A deployment serving keystroke-rate
+    * completions would snapshot the (tiny) per-prefix top lists; this is
+    * the batch/oracle form those snapshots are built from.
+    */
+  def complete(idx: InvertedIndex, prefix: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    val dict =
+      if (idx.hasTombstones)
+        idx.livePostings.filter(col("term").startsWith(lit(prefix)))
+          .groupBy(col("term")).agg(sum(col("occ")).cast("long").as("df"))
+      else idx.termdict.filter(col("term").startsWith(lit(prefix)))
+    dict.filter(col("df") > 0)
+      .select(col("term"), col("df").cast("long").as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(n)
+  }
+
+  /** STATS AGGREGATION over a query's match set — the search-API `stats`
+    * aggregation ([[histogram]]'s scalar sibling): count / min / max /
+    * sum / avg of a numeric attribute over the matching documents, in one
+    * row. `value` is any numeric column expression over `docs`; it is
+    * evaluated in f64 (for integer-valued attributes below 2^53 every
+    * partial sum is exact, so the result is independent of partition
+    * order and externally reproducible bit-for-bit; true-float attributes
+    * get the usual f64-accumulation caveat).
+    *
+    * Plan shape: the match set's term-pruned scan, one semi-join into a
+    * column-pruned `(id, value)` projection, one 1-row partial+final
+    * aggregate. Returns `(n_docs, min_v, max_v, sum_v, avg_v)`.
+    */
+  def matchStats(idx: InvertedIndex, docs: DataFrame, docIdCol: String,
+      value: org.apache.spark.sql.Column, queryString: String,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame =
+    docs.select(col(docIdCol).cast("long").as("doc_id"),
+        value.cast("double").as("v"))
+      .join(matchedDocs(idx, queryString, maxCollectedExpansions, tokenizer),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_docs"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"), sum(col("v")).as("sum_v"),
+        avg(col("v")).as("avg_v"))
 }

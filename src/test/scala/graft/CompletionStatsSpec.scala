@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.index.{IndexBuilder, Mutations}
+import graft.query.QueryEngine
+
+/** Completion suggester ([[QueryEngine.complete]]) and match-set stats
+  * aggregation ([[QueryEngine.matchStats]]) against driver-side replays.
+  */
+class CompletionStatsSpec extends TestBase {
+
+  test("complete: (df desc, term asc) ranking, cut, live recount") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "sun sun sand sea"),
+      (2L, "sun sand x"),
+      (3L, "sea sun y"),
+      (4L, "moon")
+    ).toDF("doc_id", "text")
+    val idx = IndexBuilder.build(df, "doc_id", Seq("text"))
+    // occurrence df: sun 4, sand 2, sea 2; (df desc, term asc)
+    val got = QueryEngine.complete(idx, "s", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("sun", 4L), ("sand", 2L), ("sea", 2L)))
+    assert(QueryEngine.complete(idx, "s", 2).collect().map(_.getString(0))
+      .toSeq == Seq("sun", "sand"))
+    // tombstoning doc 1 drops its occurrences from the ranking
+    val t = Mutations.removeDocuments(idx, Seq(1L))
+    val live = QueryEngine.complete(t, "s", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(live == Seq(("sand", 1L), ("sea", 1L), ("sun", 2L))
+      .sortBy { case (tm, d) => (-d, tm) })
+    // unmatched prefix is empty; bad args loud
+    assert(QueryEngine.complete(idx, "zz", 5).isEmpty)
+    intercept[IllegalArgumentException](QueryEngine.complete(idx, "", 5))
+    intercept[IllegalArgumentException](QueryEngine.complete(idx, "s", 0))
+  }
+
+  test("complete on the generated corpus == dictionary replay") {
+    val src = tools.SourceCodeGen.generate(spark, 400).cache()
+    val idx = IndexBuilder.build(src, "doc_id", Seq("content"))
+    val counts = src.select("content").collect()
+      .flatMap(r => Analyzer.tokenize(r.getString(0)))
+      .filter(_.startsWith("i"))
+      .groupBy(identity).map { case (t, os) => (t, os.length.toLong) }
+    val want = counts.toSeq.sortBy { case (t, d) => (-d, t) }.take(8)
+    val got = QueryEngine.complete(idx, "i", 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    src.unpersist()
+  }
+
+  test("matchStats == driver replay; empty match set degenerates") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha"),
+      (3L, "gamma delta x")
+    ).toDF("doc_id", "text")
+    val idx = IndexBuilder.build(df, "doc_id", Seq("text"))
+    // match "alpha" = docs 1, 2; lengths 10, 5
+    val r = QueryEngine.matchStats(idx, df, "doc_id", length(col("text")),
+      "alpha").head()
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 5.0 &&
+      r.getDouble(2) == 10.0 && r.getDouble(3) == 15.0 &&
+      r.getDouble(4) == 7.5)
+    // no matches: count 0, null extremes (the SQL degenerate row)
+    val z = QueryEngine.matchStats(idx, df, "doc_id", length(col("text")),
+      "zzz").head()
+    assert(z.getLong(0) == 0L && z.isNullAt(1) && z.isNullAt(4))
+  }
+}
