@@ -47,31 +47,53 @@ object ShardedSearch {
   def dfsTopK(shards: Seq[InvertedIndex], queryString: String,
       model: ScoreModel, k: Int, boosts: Seq[Double] = Nil,
       maxCollectedExpansions: Int = 4096,
-      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame =
+    gatherTopK(prepareShards(shards), queryString, model, k, boosts,
+      maxCollectedExpansions, tokenizer)
+
+  /** Phase 1 alone — fold the global dictionary + field stats and return
+    * the per-shard handles phase 2 queries against. A deployment calls
+    * this once per index GENERATION, caches the shared global dictionary
+    * (`prepared.head.termdict.cache()` — one vocab-sized table, shared by
+    * every handle), and serves many [[gatherTopK]] calls; [[dfsTopK]]
+    * composes both phases for the one-shot case.
+    *
+    * Each handle pre-folds its shard's tombstones into its postings and
+    * presents the globals as trusted hints (hasTombstones = false), so
+    * the ordinary query path neither recounts df shard-locally nor
+    * recomputes stats from shard-local docstats.
+    */
+  def prepareShards(shards: Seq[InvertedIndex]): Seq[InvertedIndex] = {
     require(shards.nonEmpty, "at least one shard")
-    require(k > 0, "k must be positive")
     val merged = shards.reduce(InvertedIndex.merge)
-    // phase 1 — global statistics. Under tombstones anywhere the dict df
-    // must be the LIVE occurrence sum (the same recount the single-index
-    // query path does), else the merged sum(df) is already live.
+    // Under tombstones anywhere the dict df must be the LIVE occurrence
+    // sum (the same recount the single-index query path does), else the
+    // merged sum(df) is already live.
     val gdict =
       if (merged.hasTombstones)
         merged.livePostings.groupBy(col("term"))
           .agg(sum(col("occ")).cast("long").as("df"))
       else merged.termdict
     val gstats = merged.fieldStats()
-    // phase 2 — each shard scores with the global dictionary + stats. The
-    // local handle pre-folds the shard's tombstones into its postings and
-    // presents the globals as trusted hints (hasTombstones = false), so
-    // the ordinary query path neither recounts df shard-locally nor
-    // recomputes stats from shard-local docstats.
-    val locals = shards.map { sh =>
+    shards.map { sh =>
       InvertedIndex(postings = sh.livePostings, docstats = sh.liveDocstats,
         termdict = gdict, tombstones = sh.tombstones.limit(0),
         numFields = sh.numFields, hasTombstones = false,
         statsHint = Some(gstats))
     }
-    locals.map(h => QueryEngine.query(h, queryString, model, boosts,
+  }
+
+  /** Phase 2 alone — scatter the query to [[prepareShards]]' handles,
+    * gather per-shard top-k, cut globally. Exact by the superset argument
+    * in the object doc.
+    */
+  def gatherTopK(prepared: Seq[InvertedIndex], queryString: String,
+      model: ScoreModel, k: Int, boosts: Seq[Double] = Nil,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+    require(prepared.nonEmpty, "at least one shard")
+    require(k > 0, "k must be positive")
+    prepared.map(h => QueryEngine.query(h, queryString, model, boosts,
         limit = k, maxCollectedExpansions, tokenizer))
       .reduce(_ union _)
       .orderBy(col("score").desc, col("doc_id").asc)
