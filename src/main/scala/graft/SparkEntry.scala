@@ -2567,10 +2567,10 @@ object SparkEntry {
         |fgdf AS (SELECT term, count(*) AS fg_df FROM td WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY term),
         |bgdf AS (SELECT term, count(*) AS bg_df FROM td GROUP BY term)
         |SELECT term, CAST(fg_df AS BIGINT) AS fg_df, CAST(bg_df AS BIGINT) AS bg_df,
-        |  CAST(round(1000000.0 * (CAST(fg_df * bg_n AS DOUBLE) / CAST(fg_n * bg_df AS DOUBLE))) AS BIGINT) AS score_micro
+        |  CAST(round(1000000.0 * ((CAST(fg_df AS DOUBLE) * CAST(bg_n AS DOUBLE)) / (CAST(fg_n AS DOUBLE) * CAST(bg_df AS DOUBLE)))) AS BIGINT) AS score_micro
         |FROM fgdf JOIN bgdf USING (term), fgn, bgn
         |WHERE fg_df >= 3
-        |ORDER BY CAST(fg_df * bg_n AS DOUBLE) / CAST(fg_n * bg_df AS DOUBLE) DESC, term ASC
+        |ORDER BY (CAST(fg_df AS DOUBLE) * CAST(bg_n AS DOUBLE)) / (CAST(fg_n AS DOUBLE) * CAST(bg_df AS DOUBLE)) DESC, term ASC
         |LIMIT 15""".stripMargin,
 
     // dfs scatter-gather == the single-index query: q24's full-corpus

@@ -1043,6 +1043,9 @@ object QueryEngine {
     * computed length, an epoch), `bin = floor(value / binWidth)`; empty
     * bins are absent (sparse output — at 100 TB a dense fill would
     * materialize the domain, the caller can densify k rows driver-side).
+    * Matching docs whose `value` is null are DROPPED (the search-API
+    * missing-value rule), so every emitted bin id is non-null and
+    * driver-side densification is safe.
     *
     * Plan shape: the match set's term-pruned scan, one semi-join into a
     * column-pruned `(id, value)` projection, one narrow groupBy whose
@@ -1055,6 +1058,7 @@ object QueryEngine {
     require(binWidth > 0, "binWidth must be positive")
     docs.select(col(docIdCol).cast("long").as("doc_id"),
         floor(value.cast("double") / lit(binWidth)).cast("long").as("bin"))
+      .filter(col("bin").isNotNull)
       .join(matchedDocs(idx, queryString, maxCollectedExpansions, tokenizer),
         Seq("doc_id"), "left_semi")
       .groupBy(col("bin")).agg(count(lit(1)).as("n_docs"))
@@ -1073,9 +1077,12 @@ object QueryEngine {
     * one-off noise terms (lift is maximal for a term in a single matching
     * doc, so a floor is the standard knob).
     *
-    * The score is computed as ONE f64 division of exact long products
-    * (`(fg_df·bg_n) / (fg_n·bg_df)`) so external recomputation is
-    * bit-identical — no intermediate rounding to drift the topN cut.
+    * The score is ONE f64 multiply-and-divide over the four counts, each
+    * cast to double FIRST — doc counts are exactly representable below
+    * 2^53, so at any realistic corpus the products are exact and external
+    * recomputation is bit-identical (multiplying the longs first would
+    * silently wrap past 2^63 at ~10^10 docs), and beyond 2^53 the products
+    * merely round instead of overflowing.
     *
     * Plan shape: the match set's term-pruned scan; fg term counts from a
     * semi-join of the posting store against the match set (one row per
@@ -1101,8 +1108,9 @@ object QueryEngine {
     fgDf.join(bgDf, Seq("term"))
       .crossJoin(broadcast(fgN)).crossJoin(broadcast(bgN))
       .filter(col("fg_df") >= lit(minDocCount))
-      .withColumn("score", (col("fg_df") * col("bg_n")).cast("double") /
-        (col("fg_n") * col("bg_df")).cast("double"))
+      .withColumn("score",
+        (col("fg_df").cast("double") * col("bg_n").cast("double")) /
+        (col("fg_n").cast("double") * col("bg_df").cast("double")))
       .orderBy(col("score").desc, col("term").asc)
       .limit(topN)
       .select(col("term"), col("fg_df"), col("bg_df"), col("score"))
@@ -1129,11 +1137,17 @@ object QueryEngine {
     def none = emptyFrame(spark, "doc_id" -> LongType, "term" -> StringType,
       "occ" -> LongType, "df" -> LongType)
     if (docIds.isEmpty) return none
+    import spark.implicits._
+    // the unpruned doc-point-lookup scan runs ONCE: its output is bounded
+    // by Σ doc distinct-term counts (the same magnitude the term set
+    // already transits the driver at), so collect it and rebuild a local
+    // frame — evaluating it lazily again in the final join would re-scan
+    // the full posting store a second time for no information gain
     val rows = idx.livePostings.filter(col("doc_id").isin(docIds: _*))
       .select(col("doc_id"), col("term"), col("occ").cast("long").as("occ"))
-    val terms = rows.select("term").distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (terms.isEmpty) return none
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    if (rows.isEmpty) return none
+    val terms = rows.map(_._2).distinct
     val bucketCol =
       if (idx.termdict.columns.contains("bucket")) col("bucket") else lit(-1)
     val buckets = idx.termdict.filter(col("term").isin(terms: _*))
@@ -1141,7 +1155,7 @@ object QueryEngine {
     val dfs = idx.livePostings
       .filter(candidatePredicate(idx, terms, buckets))
       .groupBy(col("term")).agg(sum(col("occ")).as("df"))
-    rows.join(dfs, Seq("term"))
+    dfs.join(broadcast(rows.toDF("doc_id", "term", "occ")), Seq("term"))
       .select(col("doc_id"), col("term"), col("occ"), col("df"))
       .orderBy(col("doc_id").asc, col("term").asc)
   }
@@ -1423,13 +1437,21 @@ object QueryEngine {
     * (The reference's trie-DFS order is insertion-dependent; we canonicalize
     * to lexicographic.)
     */
-  def expandTerm(idx: InvertedIndex, term: String): DataFrame = {
+  def expandTerm(idx: InvertedIndex, term: String): DataFrame =
+    liveDict(idx, term).select(col("term")).orderBy(col("term"))
+
+  /** Shared live-dictionary resolution under a prefix: occurrence-summed
+    * df from the dictionary, recounted from live postings under
+    * tombstones, zero-df entries dropped — the ONE definition of "live
+    * term" that [[expandTerm]] and [[complete]] must agree on.
+    */
+  private def liveDict(idx: InvertedIndex, prefix: String): DataFrame = {
     val dict =
       if (idx.hasTombstones)
-        idx.livePostings.filter(col("term").startsWith(lit(term)))
+        idx.livePostings.filter(col("term").startsWith(lit(prefix)))
           .groupBy(col("term")).agg(sum(col("occ")).as("df"))
-      else idx.termdict.filter(col("term").startsWith(lit(term)))
-    dict.filter(col("df") > 0).select(col("term")).orderBy(col("term"))
+      else idx.termdict.filter(col("term").startsWith(lit(prefix)))
+    dict.filter(col("df") > 0)
   }
 
   /** COMPLETION SUGGESTER (search-as-you-type): the live dictionary terms
@@ -1449,12 +1471,7 @@ object QueryEngine {
   def complete(idx: InvertedIndex, prefix: String, n: Int): DataFrame = {
     require(n > 0, "n must be positive")
     require(prefix.nonEmpty, "prefix must be non-empty")
-    val dict =
-      if (idx.hasTombstones)
-        idx.livePostings.filter(col("term").startsWith(lit(prefix)))
-          .groupBy(col("term")).agg(sum(col("occ")).cast("long").as("df"))
-      else idx.termdict.filter(col("term").startsWith(lit(prefix)))
-    dict.filter(col("df") > 0)
+    liveDict(idx, prefix)
       .select(col("term"), col("df").cast("long").as("df"))
       .orderBy(col("df").desc, col("term").asc)
       .limit(n)

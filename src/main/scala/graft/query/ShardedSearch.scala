@@ -68,12 +68,18 @@ object ShardedSearch {
     val merged = shards.reduce(InvertedIndex.merge)
     // Under tombstones anywhere the dict df must be the LIVE occurrence
     // sum (the same recount the single-index query path does), else the
-    // merged sum(df) is already live.
+    // merged sum(df) is already live. The recount keeps the bucket column
+    // when postings carry one (persisted shards) — a term hashes to the
+    // SAME bucket in every shard, and dropping it would silently disable
+    // bucket partition pruning for every query served off the handles.
     val gdict =
-      if (merged.hasTombstones)
-        merged.livePostings.groupBy(col("term"))
+      if (merged.hasTombstones) {
+        val keys =
+          if (merged.postings.columns.contains("bucket"))
+            Seq(col("term"), col("bucket")) else Seq(col("term"))
+        merged.livePostings.groupBy(keys: _*)
           .agg(sum(col("occ")).cast("long").as("df"))
-      else merged.termdict
+      } else merged.termdict
     val gstats = merged.fieldStats()
     shards.map { sh =>
       InvertedIndex(postings = sh.livePostings, docstats = sh.liveDocstats,

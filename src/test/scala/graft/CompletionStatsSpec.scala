@@ -52,6 +52,17 @@ class CompletionStatsSpec extends TestBase {
     src.unpersist()
   }
 
+  test("histogram drops null-valued matching docs (no null bin row)") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha", Some(10L)), (2L, "alpha", None),
+      (3L, "alpha", Some(200L))).toDF("doc_id", "text", "size")
+    val idx = IndexBuilder.build(df, "doc_id", Seq("text"))
+    val got = QueryEngine.histogram(idx, df, "doc_id", col("size"), 64.0,
+      "alpha").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 2 (null size) is dropped, not emitted as a null bin
+    assert(got == Seq((0L, 1L), (3L, 1L)))
+  }
+
   test("matchStats == driver replay; empty match set degenerates") {
     import spark.implicits._
     val df = Seq(

@@ -116,6 +116,22 @@ class SigTermsDfsSpec extends TestBase {
     assert(got.map(_._1) == want.map(_._1) && got.nonEmpty)
     got.zip(want).foreach { case ((_, g), (_, w)) =>
       assert(math.abs(g - w) < 1e-9) }
+    // tombstoned persisted shards: the global-dict recount keys by
+    // (term, bucket) — parity must hold through the pruned scans
+    val dead = (0L until 300L).filter(_ % 11 == 0)
+    (roots :+ fullRoot).foreach(r =>
+      IndexCatalog.removeDocuments(spark, r, dead))
+    val want2 = QueryEngine.query(IndexCatalog.read(spark, fullRoot),
+        "import src", graft.score.BM25(), limit = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got2 = ShardedSearch.dfsTopK(
+        roots.map(IndexCatalog.read(spark, _)), "import src",
+        graft.score.BM25(), k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got2.map(_._1) == want2.map(_._1) && got2.nonEmpty)
+    assert(got2.map(_._1).intersect(dead).isEmpty)
+    got2.zip(want2).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-9) }
     src.unpersist()
   }
 
