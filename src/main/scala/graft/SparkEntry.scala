@@ -1719,7 +1719,13 @@ object SparkEntry {
           micro(col("max_v")).as("max_micro"),
           micro(col("sum_v")).as("sum_micro"),
           micro(col("avg_v")).as("avg_micro"))
-    })
+    }),
+
+    // INDEX STATS: live doc count / vocabulary size / posting rows /
+    // total occurrences, recomputed from live tables (all-integer row —
+    // the oracle rebuilds every number from the raw text).
+    "q87_indexstats" -> ((s, dir) =>
+      QueryEngine.indexStats(IndexCache.documents(s, dir)))
   )
 
   // ---------- oracles (DuckDB SQL over the same parquet tables) ----------
@@ -2601,6 +2607,16 @@ object SparkEntry {
         |  CAST(round(max(v) * 1000000.0) AS BIGINT) AS max_micro,
         |  CAST(round(sum(v) * 1000000.0) AS BIGINT) AS sum_micro,
         |  CAST(round(avg(v) * 1000000.0) AS BIGINT) AS avg_micro
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+
+    // index stats: every number rebuilt from the raw token stream
+    "q87_indexstats" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM docs),
+        |post AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id)
+        |SELECT (SELECT count(*) FROM docs) AS n_docs,
+        |  (SELECT count(DISTINCT term) FROM toks) AS n_terms,
+        |  (SELECT count(*) FROM post) AS posting_rows,
+        |  (SELECT count(*) FROM toks) AS total_occ""".stripMargin
   )
 }

@@ -1440,6 +1440,28 @@ object QueryEngine {
   def expandTerm(idx: InvertedIndex, term: String): DataFrame =
     liveDict(idx, term).select(col("term")).orderBy(col("term"))
 
+  /** INDEX STATS — the introspection surface every index deployment
+    * exposes (`_stats` in search-API terms), over LIVE data only: document
+    * count, distinct live vocabulary size, posting rows (distinct
+    * (term, doc) pairs), and total token occurrences. One row.
+    *
+    * Everything is recomputed from the live posting/docstats tables (not
+    * read off the dictionary), so the numbers stay correct under
+    * tombstones without trusting any cached aggregate; the whole thing is
+    * one pass over postings (count + sum + distinct-term) plus the 1-row
+    * docstats count, partial-aggregated map-side.
+    */
+  def indexStats(idx: InvertedIndex): DataFrame = {
+    val d = idx.liveDocstats.agg(count(lit(1)).as("n_docs"))
+    val p = idx.livePostings.agg(
+      countDistinct(col("term")).as("n_terms"),
+      count(lit(1)).as("posting_rows"),
+      sum(col("occ")).cast("long").as("total_occ"))
+    d.crossJoin(broadcast(p))
+      .select(col("n_docs"), col("n_terms"), col("posting_rows"),
+        col("total_occ"))
+  }
+
   /** Shared live-dictionary resolution under a prefix: occurrence-summed
     * df from the dictionary, recounted from live postings under
     * tombstones, zero-df entries dropped — the ONE definition of "live

@@ -63,6 +63,45 @@ class CompletionStatsSpec extends TestBase {
     assert(got == Seq((0L, 1L), (3L, 1L)))
   }
 
+  test("indexStats == driver replay, live under tombstones") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "b c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val idx = IndexBuilder.build(df, "doc_id", Seq("text"))
+    val r = QueryEngine.indexStats(idx).head()
+    // 3 docs; vocab {a,b,c,d}; posting rows (a,1)(b,1)(b,2)(c,2)(d,3); 6 occ
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 4L, 5L, 6L)))
+    val t = Mutations.removeDocuments(idx, Seq(1L))
+    val l = QueryEngine.indexStats(t).head()
+    // live: docs 2,3; vocab {b,c,d}; rows (b,2)(c,2)(d,3); 3 occ
+    assert((l.getLong(0), l.getLong(1), l.getLong(2), l.getLong(3)) ==
+      ((2L, 3L, 3L, 3L)))
+  }
+
+  test("boolQuery nests: a bool result is a valid filter clause") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, "a b"),
+      (3L, "a c x"),
+      (4L, "a")
+    ).toDF("doc_id", "text")
+    val idx = IndexBuilder.build(df, "doc_id", Seq("text"))
+    // inner bool: must=b, mustNot=x  -> {1, 2}
+    val inner = QueryEngine.boolQuery(idx, graft.score.BM25(),
+      must = "b", mustNot = "x")
+    // outer bool: must=a, filter=inner -> scored 'a' over {1, 2}
+    val outer = QueryEngine.boolQuery(idx, graft.score.BM25(),
+      must = "a", docFilter = Some(inner))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val direct = QueryEngine.query(idx, "a", graft.score.BM25())
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(outer.keySet == Set(1L, 2L))
+    outer.foreach { case (id, s) =>
+      assert(math.abs(s - direct(id)) < 1e-12) }
+  }
+
   test("matchStats == driver replay; empty match set degenerates") {
     import spark.implicits._
     val df = Seq(
