@@ -1456,7 +1456,8 @@ object QueryEngine {
     val p = idx.livePostings.agg(
       countDistinct(col("term")).as("n_terms"),
       count(lit(1)).as("posting_rows"),
-      sum(col("occ")).cast("long").as("total_occ"))
+      // empty live store: 0, not SQL NULL (fieldStats' coalesce pattern)
+      coalesce(sum(col("occ")), lit(0L)).cast("long").as("total_occ"))
     d.crossJoin(broadcast(p))
       .select(col("n_docs"), col("n_terms"), col("posting_rows"),
         col("total_occ"))

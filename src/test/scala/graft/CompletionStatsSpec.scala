@@ -77,6 +77,11 @@ class CompletionStatsSpec extends TestBase {
     // live: docs 2,3; vocab {b,c,d}; rows (b,2)(c,2)(d,3); 3 occ
     assert((l.getLong(0), l.getLong(1), l.getLong(2), l.getLong(3)) ==
       ((2L, 3L, 3L, 3L)))
+    // fully tombstoned: all-zero row, never SQL NULL
+    val z = QueryEngine.indexStats(
+      Mutations.removeDocuments(idx, Seq(1L, 2L, 3L))).head()
+    assert((z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3)) ==
+      ((0L, 0L, 0L, 0L)))
   }
 
   test("boolQuery nests: a bool result is a valid filter clause") {
