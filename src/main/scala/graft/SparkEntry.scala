@@ -1726,6 +1726,32 @@ object SparkEntry {
     // the oracle rebuilds every number from the raw text).
     "q87_indexstats" -> ((s, dir) =>
       QueryEngine.indexStats(IndexCache.documents(s, dir)))
+    ,
+
+    // WAND-SERVED SCATTER-GATHER over persisted shards: two catalog roots
+    // built independently, per-root block tables, per-shard block-max
+    // top-k under the globally folded stats, gathered and cut — the full
+    // sharded deployment stack (persisted build + blocks + DFS + WAND)
+    // against q24's single-index full-corpus oracle.
+    "q88_dfs_wand" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("q88_roots").toString
+      val d = docs(s, dir)
+      val roots = Seq(0, 1).map { r =>
+        val root = s"$base/s$r"
+        graft.index.IndexCatalog.build(d.filter(col("doc_id") % 2 === r),
+          "doc_id", Seq("text"), root)
+        graft.index.IndexCatalog.buildBlocks(s, root)
+        root
+      }
+      val shards = roots.map(graft.index.IndexCatalog.read(s, _))
+      val blocks = roots.map(r => graft.index.IndexCatalog.readBlocks(s, r))
+      ShardedSearch.gatherTopKWand(shards, blocks.map(_._1), "spar merge",
+        BM25(), k = 200, blockSize = blocks.head._2,
+        rangesPerGroup = blocks.head._3)
+        .select(col("doc_id"), micro(col("score")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(20)
+    })
   )
 
   // ---------- oracles (DuckDB SQL over the same parquet tables) ----------
@@ -2617,6 +2643,11 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM docs) AS n_docs,
         |  (SELECT count(DISTINCT term) FROM toks) AS n_terms,
         |  (SELECT count(*) FROM post) AS posting_rows,
-        |  (SELECT count(*) FROM toks) AS total_occ""".stripMargin
+        |  (SELECT count(*) FROM toks) AS total_occ""".stripMargin,
+
+    // WAND-served sharded deployment == the single-index query: q24's
+    // full-corpus top-20 oracle verbatim
+    "q88_dfs_wand" -> bm25Sql(Seq("spar", "merge"), "",
+      finalOrder = "ORDER BY score_micro DESC, doc_id ASC LIMIT 20")
   )
 }

@@ -105,4 +105,49 @@ object ShardedSearch {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** WAND-pruned scatter-gather: per-shard BLOCK-MAX top-k
+    * ([[BlockMaxTopK.query]]) under the global statistics, then the same
+    * k-bounded gather. Each shard's block table bounds ITS docs' true
+    * (global-stats) scores — (max_tf, min_fl) are data properties of the
+    * block and the UB expression uses the same global df/stats the scores
+    * do — so per-shard WAND is exact and the superset argument carries
+    * over unchanged; the cost-based exit and θ-probe run independently
+    * per shard against shard-local θ (a valid lower bound on anything in
+    * that shard's top-k).
+    *
+    * Shards must be TOMBSTONE-FREE (vacuum before block-serving — the
+    * natural deployment rule, enforced loudly): the handles pre-fold
+    * tombstones out of the POSTING store, but block tables decode doc-ids
+    * from their own bytes, so a block built before a remove could
+    * resurrect the doc without the live anti-join the single-index path
+    * keys off `hasTombstones`. [[gatherTopK]] (exhaustive per shard)
+    * remains the tombstone-tolerant form.
+    *
+    * `shardBlocks` aligns positionally with `shards`; `blockSize` /
+    * `rangesPerGroup` must match how each shard's table was built (as
+    * returned by `IndexCatalog.readBlocks`).
+    */
+  def gatherTopKWand(shards: Seq[InvertedIndex],
+      shardBlocks: Seq[org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block]],
+      queryString: String, model: ScoreModel, k: Int, blockSize: Long,
+      boosts: Seq[Double] = Nil, rangesPerGroup: Long = 0,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+    require(shards.size == shardBlocks.size,
+      "one block table per shard, positionally aligned")
+    require(k > 0, "k must be positive")
+    require(shards.forall(!_.hasTombstones),
+      "gatherTopKWand needs vacuumed (tombstone-free) shards; " +
+        "use gatherTopK for tombstoned shards")
+    val prepared = prepareShards(shards)
+    prepared.zip(shardBlocks).map { case (h, b) =>
+      BlockMaxTopK.query(h, b, queryString, model, boosts, k,
+        blockSize = blockSize, rangesPerGroup = rangesPerGroup,
+        maxCollectedExpansions = maxCollectedExpansions,
+        tokenizer = tokenizer)
+    }.reduce(_ union _)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -135,6 +135,43 @@ class SigTermsDfsSpec extends TestBase {
     src.unpersist()
   }
 
+  test("gatherTopKWand: per-shard block-max == exhaustive gather == single") {
+    import graft.index.IndexCatalog
+    val src = tools.SourceCodeGen.generate(spark, 300).cache()
+    val base = java.nio.file.Files.createTempDirectory("dfs_wand").toString
+    val roots = Seq(0, 1).map { r =>
+      val root = s"$base/s$r"
+      IndexCatalog.build(src.filter(col("doc_id") % 2 === r), "doc_id",
+        Seq("content"), root, nBuckets = 8)
+      IndexCatalog.buildBlocks(spark, root, blockSize = 64,
+        rangesPerGroup = 4)
+      root
+    }
+    val shards = roots.map(IndexCatalog.read(spark, _))
+    val blocks = roots.map(r => IndexCatalog.readBlocks(spark, r))
+    val fullRoot = s"$base/full"
+    IndexCatalog.build(src, "doc_id", Seq("content"), fullRoot, nBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (q <- Seq("import src", "ide")) {
+      val want = rows(QueryEngine.query(IndexCatalog.read(spark, fullRoot),
+        q, graft.score.BM25(), limit = 15))
+      val wand = rows(ShardedSearch.gatherTopKWand(shards,
+        blocks.map(_._1), q, graft.score.BM25(), k = 15,
+        blockSize = blocks.head._2, rangesPerGroup = blocks.head._3))
+      assert(wand.map(_._1) == want.map(_._1) && wand.nonEmpty, s"'$q'")
+      wand.zip(want).foreach { case ((_, g), (_, w)) =>
+        assert(math.abs(g - w) < 1e-9, s"'$q'") }
+    }
+    // tombstoned shards are refused loudly
+    IndexCatalog.removeDocuments(spark, roots.head, Seq(2L))
+    val t = roots.map(IndexCatalog.read(spark, _))
+    intercept[IllegalArgumentException](
+      ShardedSearch.gatherTopKWand(t, blocks.map(_._1), "import",
+        graft.score.BM25(), k = 5, blockSize = blocks.head._2))
+    src.unpersist()
+  }
+
   test("dfsTopK degenerate shapes: one shard == plain query; bad args loud") {
     val src = tools.SourceCodeGen.generate(spark, 120).cache()
     val idx = IndexBuilder.build(src, "doc_id", Seq("content"))
