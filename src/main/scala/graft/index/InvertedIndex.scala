@@ -66,28 +66,58 @@ final case class InvertedIndex(
     * live docs (even those with an empty field), per-field sum counts
     * non-empty tokens, avg = sum / N (/root/reference/src/index.rs:112-113).
     * One tiny aggregate job; result is broadcast into score expressions as
-    * literals.
+    * literals. MEMOIZED per handle: the handle is immutable (a mutation
+    * produces a NEW InvertedIndex), so the live stats are a constant of the
+    * instance — without the memo every query path that needs stats
+    * (scoreCandidates, the WAND prepare, explain) re-runs the same 1-row
+    * aggregate job per call (measured ~60–100 ms of pure fixed job
+    * overhead per query at any corpus size).
     */
-  def fieldStats(): FieldStats = {
-    if (!hasTombstones && statsHint.isDefined) return statsHint.get
-    val aggs = count(lit(1)).as("n") +:
-      (0 until numFields).map(i =>
-        coalesce(sum(element_at(col("fl"), i + 1)), lit(0L)).as(s"s$i"))
-    val row = liveDocstats.agg(aggs.head, aggs.tail: _*).head()
-    val n = row.getLong(0)
-    val sums = (0 until numFields).map(i => row.getLong(i + 1)).toArray
-    FieldStats(n, sums, sums.map(_.toDouble / n.toDouble))
+  def fieldStats(): FieldStats = computedStats
+
+  @transient private lazy val computedStats: FieldStats = {
+    if (!hasTombstones && statsHint.isDefined) statsHint.get
+    else {
+      val aggs = count(lit(1)).as("n") +:
+        (0 until numFields).map(i =>
+          coalesce(sum(element_at(col("fl"), i + 1)), lit(0L)).as(s"s$i"))
+      val row = liveDocstats.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(0)
+      val sums = (0 until numFields).map(i => row.getLong(i + 1)).toArray
+      FieldStats(n, sums, sums.map(_.toDouble / n.toDouble))
+    }
   }
 
-  /** Persist the index tables in memory (build once, query many). */
+  /** Persist the index tables in memory (build once, query many), WITH
+    * lineage truncation: `localCheckpoint` materializes each table eagerly
+    * (same storage as `cache()`, MEMORY_AND_DISK) and replaces its logical
+    * plan with the stored partitions. A plain `cache()` keeps the full
+    * build plan (tokenize → explode → window → aggregate …), and Catalyst
+    * re-ANALYZES that whole tree on every query over the handle before the
+    * CacheManager substitutes the InMemoryRelation — measured ~0.3–0.5 s of
+    * driver time per query at any corpus size (guide §3.3: materializing an
+    * intermediate truncates the plan; same driver-bottleneck mechanism as
+    * the components loop). Deployment note: a cluster wanting executor-loss
+    * tolerance for a long-lived handle uses the persisted catalog
+    * ([[graft.index.IndexCatalog]]) instead — this is the in-memory
+    * build-once-query-many shape.
+    */
   def cached(): InvertedIndex =
-    copy(postings = postings.cache(), docstats = docstats.cache(),
-      termdict = termdict.cache(),
-      tombstones = if (hasTombstones) tombstones.cache() else tombstones)
+    copy(postings = postings.localCheckpoint(), docstats = docstats.localCheckpoint(),
+      termdict = termdict.localCheckpoint(),
+      tombstones = if (hasTombstones) tombstones.localCheckpoint() else tombstones)
 
   def unpersist(): Unit = {
-    postings.unpersist(); docstats.unpersist(); termdict.unpersist()
-    if (hasTombstones) tombstones.unpersist()
+    // release BOTH storage shapes: CacheManager entries (plain persist)
+    // and localCheckpoint RDD blocks (Dataset.unpersist is a no-op on
+    // those — see graftbridge.uncheckpoint)
+    Seq(postings, docstats, termdict).foreach { df =>
+      df.unpersist(); org.apache.spark.sql.graftbridge.uncheckpoint(df)
+    }
+    if (hasTombstones) {
+      tombstones.unpersist()
+      org.apache.spark.sql.graftbridge.uncheckpoint(tombstones)
+    }
     ()
   }
 }

@@ -55,7 +55,8 @@ object Dedup {
     * per element (see [[Portable.shinglesOfTokens]]).
     */
   def docShingles(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
-    docs.select(col(id).cast("long").as("doc_id"),
+    Portable.parallelized(docs)
+      .select(col(id).cast("long").as("doc_id"),
         Portable.tokens(col(text)).as("_toks"))
       .select(col("doc_id"),
         explode(array_distinct(Portable.shinglesOfTokens(col("_toks"), k))).as("shingle"))
@@ -369,8 +370,9 @@ object Dedup {
     * hash; the vote aggregation is one explode + groupBy.
     */
   def simhash32(docs: DataFrame, id: String, text: String): DataFrame = {
-    val toks = docs.select(col(id).cast("long").as("doc_id"),
-      explode(Portable.tokens(col(text))).as("term"))
+    val toks = Portable.parallelized(docs)
+      .select(col(id).cast("long").as("doc_id"),
+        explode(Portable.tokens(col(text))).as("term"))
     val termVotes = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("th", Portable.md5Long(col("term")))
@@ -420,7 +422,8 @@ object Dedup {
     */
   private def spanKeys(docs: DataFrame, docIdCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(docIdCol).cast("long").as("doc_id"),
+    Portable.parallelized(docs)
+      .select(col(docIdCol).cast("long").as("doc_id"),
         Portable.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"),
         explode(Portable.shinglesOfTokens(col("_toks"), n)).as("_span"))

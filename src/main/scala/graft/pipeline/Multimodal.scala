@@ -121,8 +121,13 @@ object Multimodal {
     * the driver queries; the testdata has no binary column.)
     */
   def syntheticMedia(docs: DataFrame, id: String, text: String): DataFrame = {
-    val src = docs.select(col(id).cast("long").as("doc_id"),
-      encode(col(text), "UTF-8").as("txt"))
+    // real per-row deflate/encode work: floor the scan parallelism so a
+    // one-split input doesn't serialize the whole encode+decode pipeline
+    // (Portable.parallelized scaladoc; downstream decodeFeatures inherits
+    // the partitioning — no extra shuffle)
+    val src = Portable.parallelized(docs)
+      .select(col(id).cast("long").as("doc_id"),
+        encode(col(text), "UTF-8").as("txt"))
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("media", BinaryType, nullable = false)))

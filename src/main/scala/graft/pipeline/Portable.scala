@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Hash/tokenize helpers shared by the data-pipeline operators.
@@ -40,6 +40,25 @@ object Portable {
     * empties dropped).
     */
   def tokens(text: Column): Column = graft.analysis.Analyzer.tokensCol(text)
+
+  /** Floor a DataFrame's partition count at the cluster's default
+    * parallelism — the guard EVERY CPU-heavy / high-fan-out per-row stage
+    * here sits behind. A parquet file under `maxPartitionBytes` with one
+    * row group is ONE scan split no config can subdivide, so a shingle
+    * explode (×tokens/doc) or a pixel decode downstream of it runs in a
+    * single task while the rest of the cluster idles (guide §2.5 input
+    * skew / §6.1 scan parallelism; measured: the sf0.1 snippet pass is one
+    * 2 s task without this). The round-robin repartition moves only the
+    * RAW rows (pre-fan-out bytes) and is deterministic under retries
+    * (sort-before-repartition, SPARK-23207). SCALE-ADAPTIVE: a corpus
+    * whose scan already has ≥ parallelism splits — any real 100-TB input —
+    * passes through untouched, so this never inserts a corpus-wide
+    * shuffle where the layout is already parallel.
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 
   /** k-token shingles over an ALREADY-MATERIALIZED token array column.
     *

@@ -55,7 +55,15 @@ object Fusion {
     require(rrfK >= 1 && maxRank >= 1, "rrfK and maxRank must be positive")
     val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
     val ranked = lists.map { df =>
+      // ENFORCE the top-k-lists input contract instead of documenting it:
+      // each list is cut to maxRank by (score desc, id asc) — a
+      // TakeOrderedAndProject, distributed — BEFORE the unpartitioned
+      // rank window, so the single-task window sees ≤ maxRank rows even
+      // when a caller passes a full match set (ranks are identical: the
+      // cut keeps exactly the rows whose rank would be ≤ maxRank under
+      // the same total order; the post-window filter stays as a guard).
       df.select(col(idCol), col(scoreCol))
+        .orderBy(col(scoreCol).desc, col(idCol).asc).limit(maxRank)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= maxRank)
         .select(col(idCol), (lit(1.0) / (lit(rrfK) + col("rank"))).as("contrib"))

@@ -411,6 +411,13 @@ object QueryEngine {
     * always a superset, pinned by PhraseSpec). Phase 1 is unchanged —
     * candidates are still bounded by the rarest term's df — only the
     * verify predicate widens (one literal-regex search per field).
+    * NOTE this diverges from Lucene/Elasticsearch `slop`, which is a TOTAL
+    * edit-moves budget across the whole phrase and admits transpositions:
+    * here the budget is per-adjacent-gap and order is required, so a
+    * 3-term phrase at slop = 2 may match with up to 4 total intervening
+    * tokens but "b a" never matches the phrase "a b". Same parameter
+    * name, different algebra — callers porting ES queries should read
+    * `slop` here as "maxGap per adjacent pair".
     */
   def phraseFilter(idx: InvertedIndex, docs: DataFrame, docIdCol: String,
       fieldCols: Seq[String], phrase: String,
@@ -425,14 +432,20 @@ object QueryEngine {
     if (terms.isEmpty) return none
     val distinctTerms: Seq[String] = terms.distinct
     // exact dictionary lookup (point predicate, ≤ n rows): buckets for the
-    // posting-scan partition pruning; a missing term ⇒ strict-AND empty
-    val bucketCol =
-      if (idx.termdict.columns.contains("bucket")) col("bucket") else lit(-1)
-    val found = idx.termdict.filter(col("term").isin(distinctTerms: _*))
-      .select(col("term"), bucketCol.cast("int").as("bucket")).collect()
-    if (found.map(_.getString(0)).distinct.length < distinctTerms.length)
-      return none
-    val buckets = found.map(_.getInt(1)).distinct.toSeq
+    // posting-scan partition pruning; a missing term ⇒ strict-AND empty.
+    // Only worth a driver round-trip when the index HAS a bucket column
+    // (persisted catalog): on an in-memory index the lookup prunes nothing
+    // — the missing-term early exit it also provided falls out of the
+    // candidate aggregation below for free (zero matched docs ⇒ none), so
+    // skipping it saves one sequential job per phrase query.
+    val buckets: Seq[Int] =
+      if (idx.termdict.columns.contains("bucket")) {
+        val found = idx.termdict.filter(col("term").isin(distinctTerms: _*))
+          .select(col("term"), col("bucket").cast("int").as("bucket")).collect()
+        if (found.map(_.getString(0)).distinct.length < distinctTerms.length)
+          return none
+        found.map(_.getInt(1)).distinct.toSeq
+      } else Seq(-1)
     val cand = idx.livePostings
       .filter(candidatePredicate(idx, distinctTerms, buckets))
       .groupBy(col("doc_id"))
@@ -1098,7 +1111,12 @@ object QueryEngine {
       minDocCount: Long = 1L, maxCollectedExpansions: Int = 4096,
       tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
     require(topN > 0, "topN must be positive")
+    // the fg match set feeds TWO aggregates (fg_n and the posting
+    // semi-join): persist so the term-pruned match scan runs once —
+    // query-scoped intermediate, released by the ContextCleaner when the
+    // result frame is dropped (the BlockMaxTopK docFilter idiom)
     val fg = matchedDocs(idx, queryString, maxCollectedExpansions, tokenizer)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fgN = fg.agg(count(lit(1)).as("fg_n"))
     val bgN = idx.liveDocstats.agg(count(lit(1)).as("bg_n"))
     val fgDf = idx.livePostings.join(fg, Seq("doc_id"), "left_semi")

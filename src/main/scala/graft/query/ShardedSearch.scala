@@ -133,14 +133,37 @@ object ShardedSearch {
       queryString: String, model: ScoreModel, k: Int, blockSize: Long,
       boosts: Seq[Double] = Nil, rangesPerGroup: Long = 0,
       maxCollectedExpansions: Int = 4096,
-      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
-    require(shards.size == shardBlocks.size,
-      "one block table per shard, positionally aligned")
-    require(k > 0, "k must be positive")
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame =
+    gatherTopKWandPrepared(prepareShardsWand(shards), shardBlocks,
+      queryString, model, k, blockSize, boosts, rangesPerGroup,
+      maxCollectedExpansions, tokenizer)
+
+  /** Phase 1 of the WAND-served topology: [[prepareShards]] with the
+    * tombstone-free contract checked HERE, at prepare time — a WAND-served
+    * deployment calls this once per index generation and reuses the folded
+    * globals across queries ([[gatherTopKWandPrepared]]); re-folding the
+    * vocab-sized dictionary per query was pure fixed overhead.
+    */
+  def prepareShardsWand(shards: Seq[InvertedIndex]): Seq[InvertedIndex] = {
     require(shards.forall(!_.hasTombstones),
       "gatherTopKWand needs vacuumed (tombstone-free) shards; " +
         "use gatherTopK for tombstoned shards")
-    val prepared = prepareShards(shards)
+    prepareShards(shards)
+  }
+
+  /** Phase 2 of the WAND-served topology: per-shard block-max top-k over
+    * [[prepareShardsWand]]'s handles, gathered and cut. Same result as
+    * [[gatherTopKWand]] by construction (it delegates here).
+    */
+  def gatherTopKWandPrepared(prepared: Seq[InvertedIndex],
+      shardBlocks: Seq[org.apache.spark.sql.Dataset[graft.index.PostingBlocks.Block]],
+      queryString: String, model: ScoreModel, k: Int, blockSize: Long,
+      boosts: Seq[Double] = Nil, rangesPerGroup: Long = 0,
+      maxCollectedExpansions: Int = 4096,
+      tokenizer: String => IndexedSeq[String] = Analyzer.tokenizeRaw): DataFrame = {
+    require(prepared.size == shardBlocks.size,
+      "one block table per shard, positionally aligned")
+    require(k > 0, "k must be positive")
     prepared.zip(shardBlocks).map { case (h, b) =>
       BlockMaxTopK.query(h, b, queryString, model, boosts, k,
         blockSize = blockSize, rangesPerGroup = rangesPerGroup,

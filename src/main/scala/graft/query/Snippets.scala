@@ -55,7 +55,19 @@ object Snippets {
     // (n <= window) get exactly one window covering the whole doc
     val starts = sequence(lit(1), greatest(n - lit(window) + lit(1), lit(1)))
     val scores = transform(starts, i => matchCount(slice(toks, i, lit(window)), terms))
-    docs
+    // The zero-match drop runs as a CHEAP pushable prefilter
+    // (`arrays_overlap(tokens, terms)` — exactly equivalent to the old
+    // `matches > 0`: a doc contains a query term iff its best window
+    // does), NOT as a post-hoc filter on the computed `matches` column:
+    // predicate pushdown would carry the whole O(tokens × window) scoring
+    // expression below the repartition into the scan stage and serialize
+    // it into one task on a one-split input (the §4.4
+    // duplicated-evaluation trap, Column flavor). With the prefilter at
+    // the scan and the parallelism floor between, the heavy window
+    // scoring runs post-exchange across the cluster, once.
+    graft.pipeline.Portable.parallelized(
+      docs.filter(arrays_overlap(tokensCol(col(textCol)),
+        array(terms.map(lit(_)): _*))))
       .withColumn("_toks", tokensCol(col(textCol)))
       .withColumn("_scores", scores)
       .select(col(docIdCol).cast("long").as("doc_id"),
@@ -65,6 +77,5 @@ object Snippets {
           array_position(col("_scores"), array_max(col("_scores"))).cast("int"),
           lit(window)), " ").as("snippet"),
         array_max(col("_scores")).cast("int").as("matches"))
-      .filter(col("matches") > 0)
   }
 }
