@@ -131,7 +131,9 @@ object IndexCatalog {
     * scan of the postings table just for a metadata number.
     */
   private def stage(spark: SparkSession, root: String, name: String,
-      manifest: Map[String, String], partitionBy: Seq[String] = Nil)(
+      manifest: Map[String, String], partitionBy: Seq[String] = Nil,
+      extraMetrics: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      onMetrics: Map[String, Long] => Unit = _ => ())(
       df: => DataFrame): Map[String, String] = {
     if (manifest.contains(s"stage.$name.rows")) return manifest // resume: skip
     val f = fs(spark, root)
@@ -140,9 +142,19 @@ object IndexCatalog {
     f.delete(new Path(tmp), true)
     val t0 = System.nanoTime()
     val obs = org.apache.spark.sql.Observation()
-    val w = df.observe(obs, count(lit(1)).as("rows")).write.mode("overwrite")
+    // extraMetrics ride the SAME write pass (guide §2.3: aggregate in the
+    // scan you already pay for) — build() uses this to fold the global
+    // field-stat sums into the docstats write instead of re-scanning the
+    // persisted table in a separate job
+    val metricCols = count(lit(1)).as("rows") +:
+      extraMetrics.map { case (n, c) => c.as(n) }
+    val w = df.observe(obs, metricCols.head, metricCols.tail: _*)
+      .write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
     val rows = obs.get("rows").asInstanceOf[Long]
+    if (extraMetrics.nonEmpty)
+      onMetrics(extraMetrics.map(_._1)
+        .map(n => n -> obs.get(n).asInstanceOf[Long]).toMap)
     if (f.exists(dst)) f.delete(dst, true)
     f.rename(new Path(tmp), dst)
     val secs = (System.nanoTime() - t0) / 1e9
@@ -163,7 +175,22 @@ object IndexCatalog {
     var m = readManifest(spark, root)
     val mem = IndexBuilder.build(docs, docIdCol, fieldCols)
 
-    m = stage(spark, root, "docstats", m)(mem.docstats)
+    // the docstats WRITE also observes the per-field token sums, so the
+    // fieldstats stage below writes a literal 1-row frame instead of
+    // re-scanning the persisted docstats — one corpus-sized pass saved per
+    // build (stats share the scan; N itself is the stage's row count).
+    // (A postings-derived docstats — groupBy(doc_id) over the persisted
+    // store + zero-token anti-join — was tried to drop this pass's second
+    // tokenize and MEASURED SLOWER: every doc's rows span all 64 bucket
+    // partitions, so the partial agg emits ~docs×buckets rows and the
+    // shuffle costs more than the tokenize it saved. Kept the two-pass
+    // shape; see OPTIMIZATION_r06.md.)
+    val nf = fieldCols.size
+    var statSums: Option[Map[String, Long]] = None
+    m = stage(spark, root, "docstats", m,
+      extraMetrics = (0 until nf).map(i =>
+        s"s$i" -> coalesce(sum(element_at(col("fl"), i + 1)), lit(0L))),
+      onMetrics = vals => statSums = Some(vals))(mem.docstats)
     m = stage(spark, root, "postings", m, partitionBy = Seq("bucket")) {
       // repartition ON the bucket key before the partitioned write: one
       // task per bucket ⇒ one file per bucket, instead of every map task
@@ -185,21 +212,42 @@ object IndexCatalog {
     // into a handful of row groups; the extra range shuffle at build time
     // is over the dictionary (vocab-sized), not the corpus.
     m = stage(spark, root, "termdict", m) {
+      // `rows` (posting rows per term) rides along so the per-bucket
+      // lineage below folds from the VOCAB-sized dictionary instead of a
+      // second full scan of the posting store; readers never see it
+      // ([[termdictDf]] projects it away)
       spark.read.parquet(s"$root/postings")
-        .groupBy(col("term"), col("bucket")).agg(sum(col("occ")).as("df"))
+        .groupBy(col("term"), col("bucket"))
+        .agg(sum(col("occ")).as("df"), count(lit(1)).as("rows"))
         .repartitionByRange(col("term"))
         .sortWithinPartitions(col("term"))
     }
     m = stage(spark, root, "fieldstats", m) {
-      val nf = fieldCols.size
-      val aggs = count(lit(1)).as("n") +:
-        (0 until nf).map(i => coalesce(sum(element_at(col("fl"), i + 1)), lit(0L)).as(s"s$i"))
-      spark.read.parquet(s"$root/docstats").agg(aggs.head, aggs.tail: _*)
+      statSums match {
+        case Some(vals) =>
+          // observed on the docstats write above — no re-scan; n is the
+          // docstats stage's recorded row count
+          val n = m("stage.docstats.rows").toLong
+          spark.range(1).select(lit(n).as("n") +:
+            (0 until nf).map(i => lit(vals(s"s$i")).as(s"s$i")): _*)
+        case None =>
+          // resume from a crashed build in a LATER JVM: the observation is
+          // gone, fall back to the persisted-docstats aggregate
+          val aggs = count(lit(1)).as("n") +:
+            (0 until nf).map(i => coalesce(sum(element_at(col("fl"), i + 1)), lit(0L)).as(s"s$i"))
+          spark.read.parquet(s"$root/docstats").agg(aggs.head, aggs.tail: _*)
+      }
     }
-    // per-bucket lineage: posting row count per partition
+    // per-bucket lineage: posting row count per partition — folded from
+    // the dictionary's `rows` column when present (vocab-sized scan); the
+    // postings re-scan remains only for resumes over a pre-`rows` termdict
     if (!m.contains("lineage.postings")) {
-      val perBucket = spark.read.parquet(s"$root/postings")
-        .groupBy("bucket").count().orderBy("bucket").collect()
+      val td = spark.read.parquet(s"$root/termdict")
+      val perBucket = (
+        if (td.columns.contains("rows"))
+          td.groupBy("bucket").agg(sum(col("rows")).as("count"))
+        else spark.read.parquet(s"$root/postings").groupBy("bucket").count()
+      ).orderBy("bucket").collect()
         .map(r => s"${r.getInt(0)}=${r.getLong(1)}").mkString(";")
       m = m + ("lineage.postings" -> perBucket) +
         ("config.nBuckets" -> nBuckets.toString) +
@@ -226,7 +274,11 @@ object IndexCatalog {
     */
   private def termdictDf(spark: SparkSession, root: String,
       m: Map[String, String]): DataFrame = {
+    // explicit projection: build-time bookkeeping columns (`rows`, used
+    // once for lineage) must not leak into the reader schema, and the
+    // append-delta unionByName below needs both sides column-identical
     val base = spark.read.parquet(s"$root/${tableDir(m, "termdict")}")
+      .select(col("term"), col("bucket"), col("df"))
     val gs = deltaGens(m)
     if (gs.isEmpty) base
     else gs.map(g => spark.read.parquet(s"$root/termdict.d$g"))
