@@ -55,11 +55,34 @@ object Dedup {
     * per element (see [[Portable.shinglesOfTokens]]).
     */
   def docShingles(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
+    // explode_outer + post-generate null drop ≡ explode (shingles are
+    // concat_ws results, never null; only empty arrays produce the null
+    // row) — but unlike plain explode it gives the optimizer no
+    // `size(shingles) > 0` filter to infer (InferFiltersFromGenerate) and
+    // push below the parallelism floor: that pushed filter re-inlines the
+    // WHOLE tokenize+window expression per element into the one-split scan
+    // stage, serializing an O(tokens·k) re-split per doc into a single
+    // task (measured: 4.1 s of the old q12's 5.5 s; the §4.4 trap again,
+    // this time optimizer-inferred rather than user-written)
+    docShingleArrays(docs, id, text, k)
+      .select(col("doc_id"), explode_outer(col("_shs")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+
+  /** Pre-explode form: `(doc_id, _shs = DISTINCT shingle array)` — one row
+    * per doc. The Jaccard paths persist THIS frame instead of the exploded
+    * one: per-doc set sizes then come off it NARROW (`size(_shs)`, no
+    * shuffle — the old shape re-aggregated the exploded rows back by doc,
+    * a corpus-sized groupBy paid per query), and each consumer re-explodes
+    * from the cached arrays, which is a cheap array traversal next to the
+    * tokenize+window work the cache already holds.
+    */
+  private[graft] def docShingleArrays(docs: DataFrame, id: String,
+      text: String, k: Int): DataFrame =
     Portable.parallelized(docs)
       .select(col(id).cast("long").as("doc_id"),
         Portable.tokens(col(text)).as("_toks"))
       .select(col("doc_id"),
-        explode(array_distinct(Portable.shinglesOfTokens(col("_toks"), k))).as("shingle"))
+        array_distinct(Portable.shinglesOfTokens(col("_toks"), k)).as("_shs"))
 
   /** Exact n-gram Jaccard near-dup pairs: candidates = doc pairs sharing at
     * least one (non-hot) shingle; Jaccard over DISTINCT shingle sets;
@@ -78,10 +101,12 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
       minJaccard: Double, maxBucket: Int = 1000,
       scope: CacheScope = CacheScope.global): DataFrame = {
-    // `sh` feeds sizes, cold AND (via pruned) both self-join sides: persist
-    // once or the explode pipeline runs 4×.
-    val sh = scope.cut(docShingles(docs, id, text, k))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // the per-doc ARRAY frame is the persisted cut: sizes come off it
+    // narrow (no groupBy-by-doc shuffle), and the downstream consumers
+    // (cold + pruned) re-explode from the cache — see docShingleArrays
+    val arr = scope.cut(docShingleArrays(docs, id, text, k))
+    val sh = arr.select(col("doc_id"), explode(col("_shs")).as("shingle"))
+    val sizes = arr.select(col("doc_id"), size(col("_shs")).as("sz"))
     val cold = sh.groupBy(col("shingle")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket && col("bsz") >= 2)
     val pruned = scope.cut(sh.join(cold.select("shingle"), Seq("shingle")))
@@ -110,10 +135,14 @@ object Dedup {
       numHashes: Int, rowsPerBand: Int, minJaccard: Double,
       maxBucket: Int = 10000, scope: CacheScope = CacheScope.global): DataFrame = {
     require(minJaccard > 0, "zero-intersection candidates are dropped")
-    val sh = scope.cut(docShingles(docs, id, text, k))
+    // persist the pre-explode array frame (docShingleArrays scaladoc):
+    // sizes are narrow off it, the md5 signature pass and the two
+    // intersection joins re-explode from the cache
+    val arr = scope.cut(docShingleArrays(docs, id, text, k))
+    val sh = arr.select(col("doc_id"), explode(col("_shs")).as("shingle"))
     val cands = lshCandidates(minhashFromShingles(sh, numHashes), rowsPerBand,
       maxBucket, scope)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sizes = arr.select(col("doc_id"), size(col("_shs")).as("sz"))
     // |A ∩ B| per candidate pair: fan the (small) candidate set out to the
     // left doc's shingles, then an equi-join on (right doc, shingle)
     val inter = cands
@@ -422,11 +451,14 @@ object Dedup {
     */
   private def spanKeys(docs: DataFrame, docIdCol: String, textCol: String,
       n: Int): DataFrame =
+    // explode_outer + null drop: same InferFiltersFromGenerate dodge as
+    // [[docShingles]] (spans are concat_ws results, never null)
     Portable.parallelized(docs)
       .select(col(docIdCol).cast("long").as("doc_id"),
         Portable.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"),
-        explode(Portable.shinglesOfTokens(col("_toks"), n)).as("_span"))
+        explode_outer(Portable.shinglesOfTokens(col("_toks"), n)).as("_span"))
+      .filter(col("_span").isNotNull)
       .select(col("doc_id"), md5(col("_span")).as("span_key"))
 
   /** Exact duplicate-SPAN detection — the span-level dedup signal of
