@@ -7,6 +7,13 @@ import graft.SparkEntry
 /** Per-contract-query repeated timing at a testdata dir — separates
   * host-contention noise and one-time cache builds from steady-state cost.
   * Usage: runMain graft.tools.ContractProfile <sfDir> <reps> [q14_jaccard ...]
+  *
+  * NOTE: unlike the official bench, this does NOT flush the global
+  * CacheScope between reps — pipeline queries whose per-query persists
+  * are plan-identical across reps then reuse the CacheManager entry, so
+  * their warm numbers here are FLATTERED vs graft.Bench (which releases
+  * per rep). Use graft.tools.JobProfile (release per rep) or the bench
+  * itself for honest pipeline-query numbers.
   */
 object ContractProfile {
   def main(args: Array[String]): Unit = {
